@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device CPU mesh before JAX initializes.
+
+The reference delegates distributed correctness entirely to accelerate/NCCL
+and has no tests (SURVEY.md §4); our equivalent of "multi-node without a
+cluster" is XLA's virtual host devices — every sharding/mesh test runs on 8
+fake CPU devices, and the driver separately dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: XLA:CPU cold compiles dominate test wall-clock.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,226 @@
+"""Fused multi-head attention for TPU: Pallas flash kernel + XLA fallback.
+
+TPU-native replacement for the xformers memory-efficient attention CUDA
+kernels the reference enables per-model (`src/main.py:177-178,372`, flag
+`src/args.py:277-279`) and for torch SDPA inside the diffusers denoisers.
+
+Two implementations behind one entry point `attention(...)`:
+
+  * ``xla``    — plain einsum-softmax-einsum. XLA fuses this well up to
+    moderate sequence lengths (PixArt-512: S=1024). O(S²) memory.
+  * ``pallas`` — blockwise online-softmax flash attention (Dao et al.) as a
+    single Pallas kernel: never materializes the S×S score matrix, streams
+    K/V blocks through VMEM, accumulates in fp32. Required for SD3-1024
+    (S≈4k) and CogVideoX video (S≈18k) where O(S²) would spill HBM.
+
+Layout: q [B, H, Sq, D], k/v [B, H, Sk, D] — head-major so each (batch,head)
+pair is one grid row and blocks are contiguous [S, D] tiles (last dim lane-
+aligned after padding D→multiple of 128).
+
+Gradients: both impls are differentiable — the pallas path uses a custom VJP
+whose backward falls back to the XLA formulation (tile-rematerialized by the
+compiler); a dedicated Pallas backward kernel is the planned upgrade for
+long-sequence (video) training. The 4-NFE inference hot path never
+differentiates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30  # large-negative instead of -inf keeps fp32 arithmetic NaN-free
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    impl: str = "auto",
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, H, S, D] tensors.
+
+    Args:
+      key_mask: optional [B, Sk] — nonzero for real keys, 0 for padding (the
+        text attention-mask convention of the reference's T5 conditioning,
+        `src/main.py:459-461`). Broadcast over heads and queries.
+      scale: defaults to 1/sqrt(D).
+      impl: 'auto' (pallas on TPU, xla elsewhere) | 'xla' | 'pallas'.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # [B, Sk] float bias: 0 = attend, -1e30 = masked.
+    if key_mask is None:
+        bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+    else:
+        bias = jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
+    if impl == "xla":
+        return _xla_attention(q, k, v, bias, scale)
+    if impl == "pallas":
+        return _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def _xla_attention(q, k, v, bias, scale):
+    dtype = q.dtype
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, scale):
+    """One (batch·head, q-block, k-block) grid cell of online-softmax
+    attention. k is the innermost grid dim, so (acc, m, l) scratch carries
+    across k-blocks of the same q-block."""
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_i[:] = jnp.full_like(m_i, _NEG_INF)
+        l_i[:] = jnp.zeros_like(l_i)
+
+    q = q_ref[0, 0]  # [block_q, d]
+    kb = k_ref[0, 0]  # [block_k, d]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+    s = s * scale + bias_ref[0][None, :]
+
+    m_prev = m_i[:, :1]  # [block_q, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [block_q, block_k]
+    l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0, 0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc[:] = acc[:] * alpha + pv
+    m_i[:] = jnp.broadcast_to(m_new, m_i.shape)
+    l_i[:] = jnp.broadcast_to(l_new, l_i.shape)
+
+    @pl.when(kj == pl.num_programs(2) - 1)
+    def _finish():
+        # all-masked rows (l≈0, e.g. fully padded queries) produce 0 not NaN
+        l = l_i[:, :1]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[:] / denom).astype(o_ref.dtype)
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _pad_bias(bias, mult):
+    """Pad the key-bias axis with -1e30 so padded keys are masked out."""
+    pad = (-bias.shape[1]) % mult
+    if pad == 0:
+        return bias
+    return jnp.pad(bias, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret):
+    out, _ = _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    # shrink blocks to the (pow2-rounded) sequence length for short sequences
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    qp = _pad_to(_pad_to(q, block_q, 2), d_pad, 3)
+    kp = _pad_to(_pad_to(k, block_k, 2), d_pad, 3)
+    vp = _pad_to(_pad_to(v, block_k, 2), d_pad, 3)
+    bias_p = _pad_bias(bias, block_k)
+    sq_p, sk_p = qp.shape[2], kp.shape[2]
+
+    grid = (b * h, sq_p // block_q, sk_p // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_k),
+                lambda bh, qi, kj: (bh // h, kj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda bh, qi, kj: (bh // h, bh % h, kj, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda bh, qi, kj: (bh // h, bh % h, kj, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bias_p, qp, kp, vp)
+
+    return out[:, :, :sq, :d], (q, k, v, bias)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, bias, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_attention.defvjp(_flash_fwd_res, _flash_bwd)

@@ -8,7 +8,14 @@ fake CPU devices, and the driver separately dry-runs the multi-chip path.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment exports JAX_PLATFORMS=axon (a remote-TPU tunnel) and
+# a sitecustomize.py imports jax at interpreter start, freezing that choice
+# into jax.config before this file runs. Env vars alone are therefore NOT
+# enough — the config must be updated post-import, or tests silently run on
+# the remote TPU (where interpret-mode Pallas hangs and fp32 matmuls drop to
+# bf16 precision).
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: XLA:CPU cold compiles dominate test wall-clock.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -18,3 +25,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (sitecustomize already imported it anyway)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")

@@ -1,0 +1,82 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.ops.attention import attention
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d",
+    [
+        (1, 2, 128, 128, 64),  # aligned
+        (2, 2, 200, 300, 72),  # unaligned seq + PixArt head dim 72
+        (1, 1, 64, 120, 40),  # tiny cross-attn (text keys), SD1.5 head dim
+    ],
+)
+def test_flash_matches_xla(b, h, sq, sk, d):
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk, s in zip(keys, [sq, sk, sk]))
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="pallas", interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_key_mask():
+    b, h, sq, sk, d = 2, 2, 64, 100, 32
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk, s in zip(keys, [sq, sk, sk]))
+    # T5-style padding mask: first batch keeps 7 tokens, second keeps all
+    mask = jnp.zeros((b, sk), jnp.int32).at[0, :7].set(1).at[1, :].set(1)
+    ref = attention(q, k, v, mask, impl="xla")
+    out = attention(
+        q, k, v, mask, impl="pallas", interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # masked result must equal attention restricted to the visible keys
+    ref_trunc = attention(q[:1], k[:1, :, :7], v[:1, :, :7], impl="xla")
+    np.testing.assert_allclose(out[:1], ref_trunc, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_multiblock_accumulation():
+    """Sequences spanning several k-blocks exercise the online-softmax carry."""
+    b, h, sq, sk, d = 1, 1, 256, 512, 64
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk, s in zip(keys, [sq, sk, sk]))
+    ref = attention(q, k, v, impl="xla")
+    out = attention(
+        q, k, v, impl="pallas", interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    b, h, s, d = 1, 2, 128, 64
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_rand(kk, (b, h, s, d), jnp.bfloat16) for kk in keys)
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="pallas", interpret=True)
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_flash_gradients_match_xla():
+    b, h, s, d = 1, 2, 128, 32
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(attention(q, k, v, impl=impl, interpret=True) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for ga, gb in zip(loss("pallas"), loss("xla")):
+        np.testing.assert_allclose(ga, gb, atol=1e-4, rtol=1e-4)

@@ -1,0 +1,191 @@
+"""PixArt-α DiT denoiser (Flax) — the training-path flagship model.
+
+TPU-native rebuild of the diffusers `Transformer2DModel` the reference
+instantiates three times (student `src/main.py:168-170`, fake-score critic
+`174-176`, frozen teacher `367-369`; default checkpoint
+`PixArt-alpha/PixArt-XL-2-512x512`, `src/args.py:25`). Architecture (per the
+HF checkpoint config):
+
+  * latent 4×64×64, patch 2 → 1024 tokens, hidden 1152, 28 layers,
+    16 heads × head_dim 72
+  * adaLN-single conditioning: one shared timestep MLP emits 6 modulation
+    vectors; each block adds a learned `scale_shift_table`
+  * per-block: [modulated LN → self-attn → gate] → [cross-attn to T5 tokens,
+    NO pre-norm (PixArt quirk)] → [LN → modulated MLP (gelu-tanh) → gate]
+  * caption projection: T5 4096 → 1152 two-layer MLP
+  * output: 8 channels = ε plus learned variance; every consumer takes the
+    first 4 (`chunk(2, dim=1)[0]`: reference `src/models.py:40`,
+    `src/predictor.py:35,40`, `src/main.py:483`) — `__call__` returns the
+    full 8, `epsilon()` does the split.
+
+The parameter tree mirrors the HF module names so `io/convert.py` can port
+safetensors weights key-by-key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdm_tpu.models import layers as L
+
+
+@dataclass(frozen=True)
+class PixArtConfig:
+    sample_size: int = 64  # latent H=W
+    patch_size: int = 2
+    in_channels: int = 4
+    out_channels: int = 8  # ε + learned variance
+    num_layers: int = 28
+    num_heads: int = 16
+    head_dim: int = 72
+    caption_dim: int = 4096  # T5-XXL hidden
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim  # 1152
+
+    @staticmethod
+    def tiny() -> "PixArtConfig":
+        """Small config for tests/dry-runs (keeps the real topology)."""
+        return PixArtConfig(
+            sample_size=16,
+            num_layers=2,
+            num_heads=2,
+            head_dim=16,
+            caption_dim=32,
+            dtype=jnp.float32,
+            attn_impl="xla",
+        )
+
+
+class PixArtBlock(nn.Module):
+    cfg: PixArtConfig
+
+    @nn.compact
+    def __call__(self, x, text, text_mask, t6):
+        """x [B,S,D] tokens, text [B,L,D] projected caption tokens,
+        t6 [B,6,D] shared adaLN-single modulation from the timestep."""
+        c = self.cfg
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(0.02),
+            (6, c.hidden),
+            jnp.float32,
+        )
+        mod = table[None] + t6.astype(jnp.float32)  # [B,6,D]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            m.astype(x.dtype) for m in jnp.split(mod, 6, axis=1)
+        ]  # each [B,1,D]
+
+        h = L.layer_norm(x) * (1 + scale_msa) + shift_msa
+        h = L.Attention(
+            heads=c.num_heads,
+            head_dim=c.head_dim,
+            dtype=c.dtype,
+            attn_impl=c.attn_impl,
+            name="attn1",
+        )(h)
+        x = x + gate_msa * h
+
+        # PixArt quirk: cross-attention reads the RAW residual stream
+        # (no pre-norm) — matches the original PixArt blocks.
+        h = L.Attention(
+            heads=c.num_heads,
+            head_dim=c.head_dim,
+            dtype=c.dtype,
+            attn_impl=c.attn_impl,
+            name="attn2",
+        )(x, context=text, key_mask=text_mask)
+        x = x + h
+
+        h = L.layer_norm(x) * (1 + scale_mlp) + shift_mlp
+        h = L.FeedForward(
+            mult=c.mlp_ratio,
+            activation="gelu-approximate",
+            dtype=c.dtype,
+            name="ff",
+        )(h)
+        return x + gate_mlp * h
+
+
+class PixArtTransformer2D(nn.Module):
+    """Full DiT. __call__(latent [B,4,H,W], t [B], text [B,L,4096],
+    text_mask [B,L]) → [B,8,H,W]."""
+
+    cfg: PixArtConfig = field(default_factory=PixArtConfig)
+
+    @nn.compact
+    def __call__(self, latent, t, text, text_mask=None):
+        c = self.cfg
+        b, _, h, w = latent.shape
+        gh, gw = h // c.patch_size, w // c.patch_size
+
+        x = L.PatchEmbed(
+            patch_size=c.patch_size,
+            dim=c.hidden,
+            pos_embed_base_size=c.sample_size // c.patch_size,
+            dtype=c.dtype,
+            name="pos_embed",
+        )(latent.astype(c.dtype))
+
+        # adaLN-single: sinusoidal t → MLP → base embedding [B,D]; a single
+        # linear expands it to the 6 shared modulation vectors.
+        t_base = L.sinusoidal_timestep_embedding(t, 256)
+        t_emb = L.TimestepEmbedding(c.hidden, dtype=c.dtype, name="t_embedder")(
+            t_base.astype(c.dtype)
+        )
+        t6 = nn.Dense(6 * c.hidden, dtype=c.dtype, name="t_block")(
+            nn.silu(t_emb)
+        ).reshape(b, 6, c.hidden)
+
+        # caption projection (PixArtAlphaTextProjection): 4096 → D MLP
+        y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_1")(
+            text.astype(c.dtype)
+        )
+        y = nn.gelu(y, approximate=True)
+        y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_2")(y)
+
+        for i in range(c.num_layers):
+            x = PixArtBlock(cfg=c, name=f"blocks_{i}")(x, y, text_mask, t6)
+
+        # final adaLN-modulated norm + linear to p²·out_channels
+        final_table = self.param(
+            "final_scale_shift_table",
+            nn.initializers.normal(0.02),
+            (2, c.hidden),
+            jnp.float32,
+        )
+        mod = final_table[None] + t_emb.astype(jnp.float32)[:, None]
+        shift, scale = [m.astype(x.dtype) for m in jnp.split(mod, 2, axis=1)]
+        x = L.layer_norm(x) * (1 + scale) + shift
+        x = nn.Dense(
+            c.patch_size * c.patch_size * c.out_channels,
+            dtype=c.dtype,
+            name="proj_out",
+        )(x)
+        out = L.unpatchify(x, gh, gw, c.patch_size, c.out_channels)
+        return out.astype(latent.dtype)
+
+
+def epsilon(model_out: jnp.ndarray) -> jnp.ndarray:
+    """Drop the learned-variance half: `chunk(2, dim=1)[0]` of the reference
+    (`src/predictor.py:35,40`)."""
+    return jnp.split(model_out, 2, axis=1)[0]
+
+
+def make_denoise_fn(model: PixArtTransformer2D, params):
+    """Bind params → the `DenoiseFn` contract of core.sampling/solvers:
+    (x, t, cond) → ε, where cond = (text_embeds, text_mask)."""
+
+    def fn(x, t, cond):
+        text, mask = cond
+        return epsilon(model.apply({"params": params}, x, t, text, mask))
+
+    return fn

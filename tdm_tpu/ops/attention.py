@@ -108,7 +108,7 @@ def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, sc
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [block_q, block_k]
-    s = s * scale + bias_ref[0][None, :]
+    s = s * scale + bias_ref[0]  # bias block [1, block_k] broadcasts over q
 
     m_prev = m_i[:, :1]  # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -178,9 +178,11 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
         functools.partial(_flash_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
+            # bias carried as [B, 1, Sk]: a (1, 1, block_k) block keeps the
+            # sublane dim equal to the full array dim (TPU tiling rule)
             pl.BlockSpec(
-                (1, block_k),
-                lambda bh, qi, kj: (bh // h, kj),
+                (1, 1, block_k),
+                lambda bh, qi, kj: (bh // h, 0, kj),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -211,7 +213,7 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(bias_p, qp, kp, vp)
+    )(bias_p[:, None, :], qp, kp, vp)
 
     return out[:, :, :sq, :d], (q, k, v, bias)
 

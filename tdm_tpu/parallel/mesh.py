@@ -1,0 +1,86 @@
+"""Device mesh + sharding rules — the TPU-native distributed runtime.
+
+Replaces the reference's entire distributed stack (SURVEY.md §5): HF
+accelerate process groups over NCCL (`src/main.py:93-98`), DDP wrapping
+(`321-323`), implicit gradient allreduce in `backward` (`535`), and optional
+DeepSpeed ZeRO-3 parameter sharding with frozen-model exclusion (`141-160`).
+
+On TPU none of that is a runtime — it's a compile-time layout problem:
+  * one `Mesh` over ('data', 'fsdp') axes; batch sharded on 'data',
+    parameters optionally sharded on 'fsdp' (the ZeRO-3 equivalent);
+  * `jax.jit` with NamedSharding-annotated inputs compiles the gradient
+    mean into an ICI psum and the FSDP gathers/scatters into XLA
+    all-gather / reduce-scatter — no NCCL calls to port.
+
+The reference's recipe is plain DP over 2 GPUs (`README.md:160`); TP/PP/EP
+do not exist anywhere in it (SURVEY.md §2 table B, "Distributed") and are
+intentionally out of scope here too. Sequence sharding is reserved for the
+CogVideoX long-video path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_fsdp: int = 1, *, devices=None
+) -> Mesh:
+    """('data', 'fsdp') mesh. Defaults to all devices on the data axis —
+    the reference's topology (pure DP). Put ICI-adjacent devices on 'fsdp'
+    when sharding params so gathers ride the fastest links."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_fsdp
+    assert n_data * n_fsdp == devices.size, (
+        f"mesh {n_data}x{n_fsdp} != {devices.size} devices"
+    )
+    return Mesh(devices.reshape(n_data, n_fsdp), (DATA_AXIS, FSDP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over 'data' — the DDP data split."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def fsdp_spec(shape: tuple[int, ...], n_fsdp: int, min_size: int = 2**16) -> P:
+    """ZeRO-3-style rule for one parameter: shard the largest divisible
+    axis over 'fsdp'; small params stay replicated (the reference's ZeRO-3
+    also excludes frozen/small modules, `src/main.py:141-160`)."""
+    if n_fsdp <= 1 or int(np.prod(shape)) < min_size:
+        return P()
+    # prefer the largest dim; ties → later dim (usually the output features,
+    # which keeps matmul-contracting dims whole)
+    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
+    for i in order:
+        if shape[i] % n_fsdp == 0:
+            spec: list = [None] * len(shape)
+            spec[i] = FSDP_AXIS
+            return P(*spec)
+    return P()
+
+
+def fsdp_shardings(params: Any, mesh: Mesh, *, min_size: int = 2**16) -> Any:
+    """Pytree of NamedShardings for a parameter tree under the fsdp rule."""
+    n_fsdp = mesh.shape[FSDP_AXIS]
+    return jax.tree.map(
+        lambda p: NamedSharding(mesh, fsdp_spec(p.shape, n_fsdp, min_size)),
+        params,
+    )
+
+
+def shard_params(params: Any, mesh: Mesh, *, min_size: int = 2**16) -> Any:
+    """Place a parameter tree with the fsdp rule ('fsdp' size 1 → fully
+    replicated, the reference's default DP)."""
+    return jax.device_put(params, fsdp_shardings(params, mesh, min_size=min_size))

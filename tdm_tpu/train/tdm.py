@@ -1,0 +1,286 @@
+"""The TDM (Trajectory Distribution Matching) train step — one jitted,
+mesh-shardable function.
+
+TPU-native rebuild of the reference's training loop (`src/main.py:438-593`),
+implementing the *intended* algorithm: the demo is a hasty refactor with
+seven distinct defects (SURVEY.md §2 "known defects"), each fixed here:
+
+  * per-sample trajectory gather instead of list-indexed-by-tensor (defect 2)
+  * the teacher returns the (cond-x0, uncond-x0) pair; CFG is applied once,
+    in x0 space (defects 3+4)
+  * per-optimizer-step accounting (defect 5 is a host-loop concern; here the
+    whole step IS one function)
+  * noise-interval sampling is coupled to the trajectory segment
+    (defect 6; implements both README modes, `README.md:180-183`:
+    'separate' t ~ U[t_k, t_{k+1}], 'joint' t ~ U[t_k, T])
+  * the fake-score critic actually trains (defect 7): a real denoising
+    score-matching update on transported student samples, alternated with
+    the student update inside the same compiled step
+
+Step anatomy (reference call stack §3.2, recompiled as pure functions):
+
+  1. z ~ N(0,1)                                   [main.py:443]
+  2. student 4-step rollout, stop-grad            [main.py:465 → models.py]
+  3. pick segment s ∈ {1..K} per-sample; source = trajectory state at
+     level(s) (s=K: the final x0 at level≈0); t_f ~ interval(s)
+  4. transport source → x_f at t_f with fresh ε; ε_mix = implied total noise
+                                                  [predictor.py:76-97]
+  5. critic branch: DSM loss ‖ε_critic(x_f,t_f) − ε_mix‖² → critic update
+  6. x_in = stop_grad(critic x0 estimate at (x_f, t_f))
+  7. teacher x0 pair at (x_in, t_f); target = x_u + w·(x_c − x_u)
+  8. student x0 at (x_in, t_f) (optionally CFG-mixed like the reference);
+     loss = Huber(c=1e-3)/normalizer or MSE/normalizer, normalizer =
+     stop-grad mean|x̂_s − target|                [main.py:512-529]
+  9. both optimizer updates + EMA, all in-graph
+
+Distributed: the step takes batch-sharded inputs; under jit with a
+`Mesh(('data',))` the gradient mean over devices becomes an in-graph psum
+over ICI (replacing DDP allreduce, `src/main.py:535`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tdm_tpu.core import sampling, schedules as sched
+from tdm_tpu.train import optim as topt
+
+# denoise_fn(params, x, t, cond) -> ε-prediction (model wrapper handles
+# variance-channel splits etc.). cond is (text_embeds, text_mask).
+ParamDenoiseFn = Callable[[Any, jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+
+
+@struct.dataclass
+class TDMConfig:
+    """Algorithm knobs, names following `src/args.py` where they exist."""
+
+    cfg: float = 4.5  # --cfg, teacher guidance weight (args.py:302-305)
+    total_steps: int = 900  # --total_steps, rollout T (args.py:306-309)
+    num_steps: int = 4  # K, rollout steps (main.py:465)
+    use_huber: bool = True  # --use_huber (args.py:310-313)
+    huber_c: float = 1e-3  # hardcoded at runtime (main.py:521)
+    use_separate: bool = True  # --use_separate interval mode (args.py:314-317)
+    student_cfg_in_loss: bool = True  # reference predicts student x0 with CFG
+    ema_decay: float = 0.9999
+    min_seg: int = 1  # lowest segment index sampled (1..K)
+
+    # pytree_node=False so the dataclass stays hashable/static under jit
+    def __post_init__(self):
+        pass
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    student: Any  # params
+    student_opt: Any
+    critic: Any
+    critic_opt: Any
+    ema: Any  # EMA of student params (None to disable)
+
+
+class StepMetrics(NamedTuple):
+    loss_student: jnp.ndarray
+    loss_critic: jnp.ndarray
+    grad_norm_student: jnp.ndarray
+    grad_norm_critic: jnp.ndarray
+    t_fake_mean: jnp.ndarray
+
+
+def segment_levels(config: TDMConfig) -> jnp.ndarray:
+    """Noise level of each trajectory source point, indexed by segment
+    s ∈ {0..K}: level[s] = grid[s] for s<K, 0 for s=K (the final x0)."""
+    grid = sched.fewstep_grid(config.total_steps, config.num_steps)
+    return jnp.concatenate([grid, jnp.zeros((1,), grid.dtype)])
+
+
+def sample_segment_and_t(
+    rng: jax.Array, config: TDMConfig, batch: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample (segment s, source level, t_fake) with the interval
+    coupled to the segment (fixes defect 6).
+
+    separate: t_f ~ U[level(s), level(s-1))   (README mode 1)
+    joint:    t_f ~ U[level(s), T-1)          (README mode 2)
+    """
+    levels = segment_levels(config)
+    k = config.num_steps
+    r_seg, r_t = jax.random.split(rng)
+    seg = jax.random.randint(r_seg, (batch,), config.min_seg, k + 1)
+    lo = jnp.take(levels, seg)
+    if config.use_separate:
+        hi = jnp.take(levels, seg - 1)
+    else:
+        hi = jnp.full((batch,), config.total_steps - 1, levels.dtype)
+    u = jax.random.uniform(r_t, (batch,))
+    t_fake = (lo + u * (hi - lo)).astype(jnp.int32)
+    return seg, lo, t_fake
+
+
+def build_train_step(
+    denoise_fn: ParamDenoiseFn,
+    teacher_params: Any,
+    schedule: sched.NoiseSchedule,
+    config: TDMConfig,
+    student_tx: optax.GradientTransformation,
+    critic_tx: optax.GradientTransformation,
+    *,
+    sample_shape: tuple[int, ...],
+):
+    """Returns `train_step(state, rng, cond, uncond) -> (state, metrics)`.
+
+    cond/uncond are the conditioning pytrees (text embeddings + mask);
+    teacher params are closed over (frozen, `src/main.py:370-371`).
+    sample_shape: latent shape per sample, e.g. (4, 64, 64)
+    (`src/main.py:443`).
+    """
+    grid = sched.fewstep_grid(config.total_steps, config.num_steps)
+    levels = segment_levels(config)
+
+    def train_step(state: TrainState, rng: jax.Array, cond: Any, uncond: Any):
+        batch = jax.tree.leaves(cond)[0].shape[0]
+        r_noise, r_seg, r_fresh = jax.random.split(rng, 3)
+
+        # ---- 1-2. student rollout from pure noise, stop-grad ----
+        z = jax.random.normal(
+            r_noise, (batch, *sample_shape), dtype=jnp.float32
+        )
+        student_frozen = jax.lax.stop_gradient(state.student)
+
+        def rollout_fn(x, t, c):
+            return denoise_fn(student_frozen, x, t, c)
+
+        traj = sampling.sample_fewstep(
+            rollout_fn,
+            schedule,
+            z,
+            cond,
+            timestep_grid=grid,
+            return_trajectory=True,
+        )
+
+        # ---- 3. segment + interval-coupled t_fake ----
+        seg, lo, t_fake = sample_segment_and_t(r_seg, config, batch)
+        source, _ = sampling.gather_trajectory_states(traj, grid, seg)
+        # x̂0/ε̂ that produced the source state (segment s came from step s-1)
+        seg_m1 = (seg - 1).reshape((1, -1) + (1,) * len(sample_shape))
+        x0_src = jnp.take_along_axis(traj.x0s, seg_m1, axis=0)[0]
+        eps_src = jnp.take_along_axis(traj.noise_preds, seg_m1, axis=0)[0]
+
+        # ---- 4. transport to t_fake; implied total noise ----
+        fresh = jax.random.normal(r_fresh, source.shape, source.dtype)
+        x_f = sched.transport(schedule, source, fresh, lo, t_fake)
+        eps_mix = sched.mixed_noise(schedule, eps_src, fresh, lo, t_fake)
+
+        # ---- 5. critic DSM update (fixes defect 7: real alternating update)
+        def critic_loss_fn(critic_params):
+            eps_pred = denoise_fn(critic_params, x_f, t_fake, cond)
+            return jnp.mean((eps_pred - jax.lax.stop_gradient(eps_mix)) ** 2)
+
+        loss_critic, critic_grads = jax.value_and_grad(critic_loss_fn)(
+            state.critic
+        )
+        critic_updates, critic_opt = critic_tx.update(
+            critic_grads, state.critic_opt, state.critic
+        )
+        new_critic = optax.apply_updates(state.critic, critic_updates)
+
+        # ---- 6. critic x0 estimate at (x_f, t_fake) — the student's input
+        # (the demo's fake_latents, main.py:481-490); uses the *updated*
+        # critic, stop-grad
+        eps_fake = denoise_fn(
+            jax.lax.stop_gradient(new_critic), x_f, t_fake, cond
+        )
+        x_in = jax.lax.stop_gradient(
+            sched.predicted_origin(schedule, eps_fake, t_fake, x_f)
+        )
+
+        # ---- 7. teacher CFG target in x0 space (fixes defects 3+4) ----
+        eps_t_c = denoise_fn(teacher_params, x_in, t_fake, cond)
+        eps_t_u = denoise_fn(teacher_params, x_in, t_fake, uncond)
+        x0_t_c = sched.predicted_origin(schedule, eps_t_c, t_fake, x_in)
+        x0_t_u = sched.predicted_origin(schedule, eps_t_u, t_fake, x_in)
+        target = jax.lax.stop_gradient(
+            x0_t_u + config.cfg * (x0_t_c - x0_t_u)
+        )
+
+        # ---- 8. student prediction + weighted loss ----
+        def student_loss_fn(student_params):
+            eps_s_c = denoise_fn(student_params, x_in, t_fake, cond)
+            if config.student_cfg_in_loss and config.cfg != 1.0:
+                eps_s_u = denoise_fn(student_params, x_in, t_fake, uncond)
+                eps_s = eps_s_u + config.cfg * (eps_s_c - eps_s_u)
+            else:
+                eps_s = eps_s_c
+            x0_s = sched.predicted_origin(schedule, eps_s, t_fake, x_in)
+            diff32 = x0_s.astype(jnp.float32) - target.astype(jnp.float32)
+            # per-sample normalizer = stop-grad mean|Δ| (main.py:519)
+            axes = tuple(range(1, diff32.ndim))
+            w = jax.lax.stop_gradient(
+                jnp.mean(jnp.abs(diff32), axis=axes, keepdims=True)
+            )
+            w = jnp.maximum(w, 1e-8)
+            if config.use_huber:
+                per = (
+                    jnp.sqrt(diff32**2 + config.huber_c**2) - config.huber_c
+                ) / w
+            else:
+                per = diff32**2 / w
+            return jnp.mean(per)
+
+        loss_student, student_grads = jax.value_and_grad(student_loss_fn)(
+            state.student
+        )
+        student_updates, student_opt = student_tx.update(
+            student_grads, state.student_opt, state.student
+        )
+        new_student = optax.apply_updates(state.student, student_updates)
+
+        # ---- 9. EMA + bookkeeping ----
+        new_ema = (
+            topt.ema_update(state.ema, new_student, config.ema_decay)
+            if state.ema is not None
+            else None
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            student=new_student,
+            student_opt=student_opt,
+            critic=new_critic,
+            critic_opt=critic_opt,
+            ema=new_ema,
+        )
+        metrics = StepMetrics(
+            loss_student=loss_student,
+            loss_critic=loss_critic,
+            grad_norm_student=topt.global_norm(student_grads),
+            grad_norm_critic=topt.global_norm(critic_grads),
+            t_fake_mean=jnp.mean(t_fake.astype(jnp.float32)),
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_state(
+    student_params: Any,
+    critic_params: Any,
+    student_tx: optax.GradientTransformation,
+    critic_tx: optax.GradientTransformation,
+    *,
+    use_ema: bool = False,
+) -> TrainState:
+    """Fresh TrainState; student/critic both start from the teacher weights
+    in the reference recipe (`src/main.py:168-176`)."""
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        student=student_params,
+        student_opt=student_tx.init(student_params),
+        critic=critic_params,
+        critic_opt=critic_tx.init(critic_params),
+        ema=jax.tree.map(lambda x: x, student_params) if use_ema else None,
+    )

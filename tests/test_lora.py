@@ -1,0 +1,147 @@
+"""LoRA adapter + IO tests.
+
+Covers the reference LoRA surface: peft-style injection over attention
+projections (`src/main.py:43`), the runtime adapter-scale knob
+(`README.md:50`: set_adapters(['tdm'], [0.125])), kohya export
+(`src/utils.py:74-93`) and diffusers/peft-format loading
+(`README.md:45-49`), and LoRA-only training gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.lora import LoRA, init_lora, load_lora, merge, save_kohya, wrap_denoise_fn
+from tdm_tpu.lora.io import save_file  # noqa: F401  (safetensors re-export)
+from tdm_tpu.models import pixart
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    b, seq = 2, 8
+    latent = jnp.zeros((b, 4, cfg.sample_size, cfg.sample_size))
+    t = jnp.full((b,), 500.0)
+    text = jnp.zeros((b, seq, cfg.caption_dim))
+    mask = jnp.ones((b, seq), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), latent, t, text, mask)["params"]
+    return model, params, (latent, t, text, mask)
+
+
+def test_init_targets_attention_kernels(tiny_model):
+    _, params, _ = tiny_model
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+    paths = [p for p, _ in lora.alpha]
+    assert any("to_q" in p for p in paths)
+    assert any("to_out" in p for p in paths)
+    # b starts at zero ⇒ merge at any scale is the identity
+    merged = merge(params, lora, scale=0.7)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_scale_linearity(tiny_model):
+    model, params, args = tiny_model
+    lora = init_lora(params, jax.random.PRNGKey(1), rank=4)
+    # give b nonzero values so the delta is real
+    lora = LoRA(
+        params=jax.tree.map(
+            lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+            lora.params,
+        ),
+        alpha=lora.alpha,
+    )
+    m1 = merge(params, lora, scale=1.0)
+    m2 = merge(params, lora, scale=2.0)
+    # delta(scale=2) = 2·delta(scale=1) on every adapted kernel
+    d1 = jax.tree.map(lambda a, b: np.asarray(b, np.float64) - np.asarray(a, np.float64), params, m1)
+    d2 = jax.tree.map(lambda a, b: np.asarray(b, np.float64) - np.asarray(a, np.float64), params, m2)
+    for x1, x2 in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+        np.testing.assert_allclose(2 * x1, x2, atol=1e-5)
+    # and the model output actually changes
+    out0 = model.apply({"params": params}, *args)
+    out1 = model.apply({"params": m1}, *args)
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_kohya_roundtrip(tmp_path, tiny_model):
+    _, params, _ = tiny_model
+    rng = jax.random.PRNGKey(3)
+    lora = init_lora(params, rng, rank=4, alpha=8.0)
+    lora = LoRA(
+        params=jax.tree.map(
+            lambda x: x + 0.05 * jax.random.normal(rng, x.shape), lora.params
+        ),
+        alpha=lora.alpha,
+    )
+    f = str(tmp_path / "tdm_lora.safetensors")
+    save_kohya(lora, f, dtype=np.float32)
+    back = load_lora(f, params=params)
+    assert back.alpha_map == lora.alpha_map
+    from tdm_tpu.lora.adapter import _flatten
+
+    fa, fb = _flatten(lora.params), _flatten(back.params)
+    assert sorted(fa) == sorted(fb)
+    for p in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[p]["a"]), np.asarray(fb[p]["a"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fa[p]["b"]), np.asarray(fb[p]["b"]), atol=1e-6
+        )
+    # merged models agree
+    m1 = merge(params, lora, 0.125)
+    m2 = merge(params, back, 0.125)
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_peft_format_load(tmp_path):
+    """diffusers/peft-style keys (dotted paths, lora_A/lora_B) load too."""
+    from safetensors.numpy import save_file as sf_save
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 16)).astype(np.float32)  # torch A: [r, in]
+    b = rng.normal(size=(32, 4)).astype(np.float32)  # torch B: [out, r]
+    sf_save(
+        {
+            "transformer.blocks_0.attn1.to_q.lora_A.weight": a,
+            "transformer.blocks_0.attn1.to_q.lora_B.weight": b,
+        },
+        str(tmp_path / "peft.safetensors"),
+    )
+    lora = load_lora(str(tmp_path / "peft.safetensors"))
+    entry = lora.params["blocks_0"]["attn1"]["to_q"]
+    np.testing.assert_allclose(np.asarray(entry["a"]), a.T)
+    np.testing.assert_allclose(np.asarray(entry["b"]), b.T)
+    assert lora.alpha_map["blocks_0/attn1/to_q"] == 4.0
+
+
+def test_lora_training_grads_flow_only_into_factors(tiny_model):
+    model, params, (latent, t, text, mask) = tiny_model
+    lora = init_lora(params, jax.random.PRNGKey(4), rank=2)
+
+    def denoise_fn(p, x, tt, cond):
+        te, m = cond
+        return pixart.epsilon(model.apply({"params": p}, x, tt, te, m))
+
+    fn = wrap_denoise_fn(denoise_fn, params, lora)
+
+    def loss(lora_params):
+        out = fn(lora_params, latent, t, (text, mask))
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(lora.params)
+    leaves = jax.tree.leaves(grads)
+    assert leaves, "no lora grads"
+    # a-factors get nonzero grads even while b = 0 is zero-init? No — with
+    # b = 0 the delta is a@b and d(loss)/da = g·bᵀ = 0; b grads are nonzero.
+    b_leaves = [
+        np.asarray(v["b"])
+        for v in jax.tree.leaves(
+            grads, is_leaf=lambda x: isinstance(x, dict) and "b" in x
+        )
+    ]
+    assert any(np.abs(g).max() > 0 for g in b_leaves)

@@ -1,0 +1,249 @@
+"""CogVideoX 3D-DiT denoiser (Flax) — the text-to-video family.
+
+TPU-native rebuild of the `CogVideoXTransformer3DModel` behind
+`CogVideoXPipeline` in the reference's video recipe (`README.md:114-138`:
+TDM-CogVideoX-2B LoRA, 4 NFE, 49 frames, seed 8888, generator trained on
+t = [999, 856, 665, 399]). Architecture per the THUDM/CogVideoX-2b config:
+
+  * VAE latent [B, 16, F, H/8, W/8]; 49 frames → F = 13 (4× temporal
+    compression + 1); 480×720 → 60×90 spatial
+  * 2×2 spatial patchify (no temporal patching) → F·(H/16)·(W/16) video
+    tokens, text tokens (T5, 226 max) PREPENDED to the sequence
+  * joint full attention over [text; video] per block — text and video share
+    one stream (unlike SD3's dual-stream MMDiT)
+  * CogVideoX adaLN ("LayerNormZero"): silu(temb) → 6 vectors = (shift,
+    scale, gate) for the video tokens and separately for the text tokens,
+    applied around both attention and FF
+  * qk LayerNorm per head; 2B uses learned 3D position embeddings
+    (`use_rotary=False`); 5B uses 3D RoPE (`use_rotary=True`) — both
+    supported
+  * v-prediction in the CogVideoX DDIM convention (the 2B checkpoint is
+    v_prediction; handled by the schedule's prediction_type)
+
+The 49-frame sequence (13·(30·45) ≈ 17.6k video tokens + 226 text) is the
+framework's long-context stress case — attention runs through the Pallas
+flash kernel which never materializes the ~18k² score matrix (SURVEY.md §5
+"long-context": memory-scaling, not sequence-parallelism, matching the
+reference's xformers+tiling approach).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tdm_tpu.models import layers as L
+from tdm_tpu.ops.attention import attention as fused_attention
+
+
+@dataclass(frozen=True)
+class CogVideoXConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2
+    num_layers: int = 30
+    num_heads: int = 30
+    head_dim: int = 64
+    text_dim: int = 4096  # T5-XXL
+    time_embed_dim: int = 512
+    max_text_len: int = 226
+    sample_frames: int = 13  # latent frames for 49 video frames
+    sample_h: int = 60
+    sample_w: int = 90
+    use_rotary: bool = False  # False: 2B (learned pos); True: 5B (3D RoPE)
+    dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim  # 1920 (2B)
+
+    @staticmethod
+    def tiny(use_rotary: bool = False) -> "CogVideoXConfig":
+        return CogVideoXConfig(
+            num_layers=2, num_heads=2, head_dim=16, text_dim=32,
+            time_embed_dim=16, max_text_len=8, sample_frames=3,
+            sample_h=8, sample_w=8, use_rotary=use_rotary,
+            dtype=jnp.float32, attn_impl="xla",
+        )
+
+
+def rope_3d(
+    dim: int, frames: int, grid_h: int, grid_w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """3D rotary tables (cos, sin) [F·H·W, dim]: dim split ≈ (t, h, w) =
+    (dim/4, 3dim/8, 3dim/8) as in CogVideoX-5B; host-side numpy, static."""
+    dim_t = dim // 4
+    dim_h = dim * 3 // 8
+    dim_w = dim - dim_t - dim_h
+
+    def freqs(n, d):
+        inv = 1.0 / (10000 ** (np.arange(0, d, 2, dtype=np.float64) / d))
+        ang = np.outer(np.arange(n, dtype=np.float64), inv)  # [n, d/2]
+        return np.repeat(ang, 2, axis=1)  # interleaved pairs [n, d]
+
+    ft = freqs(frames, dim_t)[:, None, None, :]
+    fh = freqs(grid_h, dim_h)[None, :, None, :]
+    fw = freqs(grid_w, dim_w)[None, None, :, :]
+    full = np.concatenate(
+        [
+            np.broadcast_to(ft, (frames, grid_h, grid_w, dim_t)),
+            np.broadcast_to(fh, (frames, grid_h, grid_w, dim_h)),
+            np.broadcast_to(fw, (frames, grid_h, grid_w, dim_w)),
+        ],
+        axis=-1,
+    ).reshape(frames * grid_h * grid_w, dim)
+    return np.cos(full).astype(np.float32), np.sin(full).astype(np.float32)
+
+
+class CogLayerNormZero(nn.Module):
+    """silu(temb) → 6 vectors: (shift, scale, gate) for video and text
+    streams; applies the affine-free LN + modulation, returns gates."""
+
+    dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, ctx, temb):
+        mod = nn.Dense(6 * self.dim, dtype=self.dtype, name="linear")(
+            nn.silu(temb)
+        ).reshape(temb.shape[0], 6, self.dim)
+        shift, scale, gate, c_shift, c_scale, c_gate = [
+            mod[:, i][:, None] for i in range(6)
+        ]
+        x = L.layer_norm(x, eps=1e-5) * (1 + scale) + shift
+        ctx = L.layer_norm(ctx, eps=1e-5) * (1 + c_scale) + c_shift
+        return x, ctx, gate, c_gate
+
+
+class CogVideoXBlock(nn.Module):
+    cfg: CogVideoXConfig
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, rotary):
+        """x [B,S_vid,D] video tokens, ctx [B,S_txt,D] text tokens."""
+        c = self.cfg
+        b, s_vid, _ = x.shape
+        s_txt = ctx.shape[1]
+        inner = c.hidden
+
+        hx, hc, gate, c_gate = CogLayerNormZero(inner, c.dtype, name="norm1")(
+            x, ctx, temb
+        )
+        # joint sequence: TEXT FIRST (CogVideoX convention)
+        h = jnp.concatenate([hc, hx], axis=1)
+        q = nn.Dense(inner, dtype=c.dtype, name="to_q")(h)
+        k = nn.Dense(inner, dtype=c.dtype, name="to_k")(h)
+        v = nn.Dense(inner, dtype=c.dtype, name="to_v")(h)
+
+        def split(t):
+            return t.reshape(b, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        # per-head qk LayerNorm (CogVideoX uses LN, not RMS)
+        q = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_q")(q).astype(c.dtype)
+        k = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_k")(k).astype(c.dtype)
+        if rotary is not None:
+            # RoPE applies to VIDEO tokens only (text tokens keep identity)
+            cos, sin = rotary
+            pad = jnp.zeros((s_txt, cos.shape[-1]), cos.dtype)
+            cos_full = jnp.concatenate([jnp.ones_like(pad), cos], axis=0)
+            sin_full = jnp.concatenate([pad, sin], axis=0)
+            q = L.apply_rotary(q, (cos_full, sin_full))
+            k = L.apply_rotary(k, (cos_full, sin_full))
+
+        out = fused_attention(q, k, v, impl=c.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s_txt + s_vid, inner)
+        out = nn.Dense(inner, dtype=c.dtype, name="to_out")(out)
+        ctx = ctx + c_gate * out[:, :s_txt]
+        x = x + gate * out[:, s_txt:]
+
+        hx, hc, gate, c_gate = CogLayerNormZero(inner, c.dtype, name="norm2")(
+            x, ctx, temb
+        )
+        h = jnp.concatenate([hc, hx], axis=1)
+        h = L.FeedForward(
+            mult=4, activation="gelu-approximate", dtype=c.dtype, name="ff"
+        )(h)
+        ctx = ctx + c_gate * h[:, :s_txt]
+        x = x + gate * h[:, s_txt:]
+        return x, ctx
+
+
+class CogVideoXTransformer3D(nn.Module):
+    """__call__(latent [B,16,F,H,W], t [B], text [B,L,4096]) →
+    prediction [B,16,F,H,W] (v-prediction for the 2B checkpoint)."""
+
+    cfg: CogVideoXConfig = field(default_factory=CogVideoXConfig)
+
+    @nn.compact
+    def __call__(self, latent, t, text):
+        c = self.cfg
+        b, ch, f, h, w = latent.shape
+        p = c.patch_size
+        gh, gw = h // p, w // p
+        s_vid = f * gh * gw
+        inner = c.hidden
+
+        # spatial patchify per frame: [B,16,F,H,W] → [B, F·gh·gw, D]
+        x = jnp.transpose(latent, (0, 2, 3, 4, 1)).astype(c.dtype)  # B,F,H,W,C
+        x = x.reshape(b * f, h, w, ch)
+        x = nn.Conv(inner, (p, p), strides=(p, p), dtype=c.dtype, name="patch_proj")(x)
+        x = x.reshape(b, s_vid, inner)
+
+        ctx = nn.Dense(inner, dtype=c.dtype, name="text_proj")(text.astype(c.dtype))
+        s_txt = ctx.shape[1]
+
+        rotary = None
+        if c.use_rotary:
+            cos, sin = rope_3d(c.head_dim, f, gh, gw)
+            rotary = (jnp.asarray(cos), jnp.asarray(sin))
+        else:
+            # 2B: learned joint positional embedding over [text; video]
+            pos = self.param(
+                "pos_embedding",
+                nn.initializers.normal(0.02),
+                (c.max_text_len + c.sample_frames * (c.sample_h // p) * (c.sample_w // p), inner),
+                jnp.float32,
+            )
+            ctx = ctx + pos[None, :s_txt].astype(c.dtype)
+            x = x + pos[None, c.max_text_len : c.max_text_len + s_vid].astype(c.dtype)
+
+        t_base = L.sinusoidal_timestep_embedding(t, inner)
+        temb = L.TimestepEmbedding(
+            c.time_embed_dim, dtype=c.dtype, name="time_embedding"
+        )(t_base.astype(c.dtype))
+
+        for i in range(c.num_layers):
+            x, ctx = CogVideoXBlock(cfg=c, name=f"blocks_{i}")(x, ctx, temb, rotary)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_final")(
+            jnp.concatenate([ctx, x], axis=1)
+        ).astype(c.dtype)[:, s_txt:]
+
+        # final adaLN (shift, scale) + projection to p²·C
+        mod = nn.Dense(2 * inner, dtype=c.dtype, name="norm_out")(
+            nn.silu(temb)
+        ).reshape(b, 2, inner)
+        shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
+        x = L.layer_norm(x, eps=1e-5) * (1 + scale) + shift
+        x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, name="proj_out")(x)
+
+        # unpatchify back to [B,16,F,H,W]
+        x = x.reshape(b, f, gh, gw, p, p, c.out_channels)
+        x = jnp.einsum("bfhwpqc->bcfhpwq", x)
+        return x.reshape(b, c.out_channels, f, gh * p, gw * p).astype(latent.dtype)
+
+
+def make_denoise_fn(model: CogVideoXTransformer3D, params):
+    """DenoiseFn contract: (x, t, cond) → model output; cond = T5 text
+    embeddings [B,L,4096] (CogVideoX passes no mask — fixed 226-token pad)."""
+
+    def fn(x, t, cond):
+        return model.apply({"params": params}, x, t, cond)
+
+    return fn

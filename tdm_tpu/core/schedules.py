@@ -130,6 +130,39 @@ def _from_betas(
     )
 
 
+def cogvideox(
+    num_train_timesteps: int = 1000,
+    beta_start: float = 0.00085,
+    beta_end: float = 0.012,
+    snr_shift_scale: float = 3.0,
+    rescale_zero_terminal_snr: bool = True,
+) -> NoiseSchedule:
+    """CogVideoX's training schedule: scaled-linear β, v-prediction, SNR
+    shift ᾱ ← ᾱ/(s − (s−1)ᾱ), and zero-terminal-SNR rescale (the config of
+    the CogVideoXPipeline scheduler the reference's video recipe runs,
+    `README.md:116-138`)."""
+    betas = (
+        np.linspace(
+            beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64
+        )
+        ** 2
+    )
+    ac = np.cumprod(1.0 - betas)
+    ac = ac / (snr_shift_scale - (snr_shift_scale - 1.0) * ac)
+    sqrt_ac = np.sqrt(ac)
+    if rescale_zero_terminal_snr:
+        # shift+scale so the final step is exactly SNR 0 (pure noise) while
+        # step 0 keeps its original value
+        a0, aT = sqrt_ac[0], sqrt_ac[-1]
+        sqrt_ac = (sqrt_ac - aT) * a0 / (a0 - aT)
+    return NoiseSchedule(
+        alphas=jnp.asarray(sqrt_ac, jnp.float32),
+        sigmas=jnp.asarray(np.sqrt(1.0 - sqrt_ac**2), jnp.float32),
+        num_train_timesteps=num_train_timesteps,
+        prediction_type=V_PREDICTION,
+    )
+
+
 def shift_sigma(sigma: jnp.ndarray, shift: float) -> jnp.ndarray:
     """Resolution/flow shift: σ̂ = s·σ / (1 + (s-1)·σ).
 

@@ -1,0 +1,103 @@
+"""Pipeline base: the diffusers-mirroring public inference API.
+
+The reference's de-facto serving API is the diffusers pipeline call
+convention (SURVEY.md §1 layer D, §3.4): `from_pretrained`,
+`load_lora_weights(path, adapter_name)`, `set_adapters([names], [scales])`,
+scheduler swap, then `pipe(prompt, negative_prompt, num_inference_steps,
+height, width, guidance_scale, generator)`. This module provides those verbs
+once; each model family subclasses with its denoiser/encoder/VAE wiring.
+
+TPU-native mechanics under the hood:
+  * the whole K-NFE loop (denoiser forwards + scheduler math + CFG) is ONE
+    jitted program (core.solvers / core.sampling), cached per static
+    (steps, H, W, cfg-on) signature — repeat calls at the same shape hit the
+    compiled executable directly;
+  * "generator" is a JAX PRNG seed (torch RNG streams are not reproducible
+    in JAX — parity is defined on decoded grids, SURVEY.md §7 hard parts);
+  * LoRA adapters merge into the base params on device; `set_adapters`
+    re-merges from the pristine base (README.md:50: scale 0.125).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tdm_tpu import lora as lora_lib
+
+
+@dataclass
+class PipelineOutput:
+    """images: [B, H, W, 3] float32 in [0, 1] (or videos [B, F, H, W, 3])."""
+
+    images: Any
+    latents: Any = None
+
+
+class DiffusionPipelineBase:
+    """Shared LoRA management + jit caching. Subclasses set `base_params`
+    (the denoiser's pristine param tree) and implement `_build_sampler`."""
+
+    def __init__(self):
+        self._loras: dict[str, lora_lib.LoRA] = {}
+        self._active: tuple = ()  # ((name, scale), ...)
+        self._jit_cache: dict = {}
+        self.base_params: Any = None
+        self.params: Any = None  # base with active adapters merged
+
+    # ---- LoRA verbs (README.md:45-50,70,96,119) ----
+
+    def load_lora_weights(self, path: str, adapter_name: str = "default") -> None:
+        self._loras[adapter_name] = lora_lib.load_lora(
+            path, params=self.base_params
+        )
+        self.set_adapters([adapter_name], [1.0])
+
+    def set_adapters(
+        self, names: Sequence[str], scales: Optional[Sequence[float]] = None
+    ) -> None:
+        """Re-merge the named adapters at the given scales into a fresh copy
+        of the base params. scale 0 == adapter off (the reference's teacher
+        baseline trick, README.md:69-71)."""
+        scales = list(scales) if scales is not None else [1.0] * len(names)
+        params = self.base_params
+        for name, scale in zip(names, scales):
+            if scale != 0.0:
+                params = lora_lib.merge(params, self._loras[name], scale)
+        self.params = params
+        self._active = tuple(zip(names, scales))
+        self._jit_cache.clear()  # merged params are closed over in jits
+
+    # ---- jit cache ----
+
+    def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = build()
+        return fn
+
+    # ---- misc ----
+
+    @staticmethod
+    def rng(seed: Optional[int], generator: Optional[jax.Array]) -> jax.Array:
+        """`generator` (a PRNG key) wins; else `seed`; else seed 0 — mirrors
+        the fixed-seed recipes (8888 / 317 / 42, README.md:57,98,133)."""
+        if generator is not None:
+            return generator
+        return jax.random.PRNGKey(0 if seed is None else seed)
+
+
+def to_images(decoded: jnp.ndarray, *, value_range: str = "unit") -> jnp.ndarray:
+    """VAE decode output → [B, H, W, 3] (or [B, F, H, W, 3]) float32 in
+    [0,1]. `value_range`: 'unit' for TAESD ([0,1] native), 'pm1' for KL
+    VAEs ([-1,1] → /2+0.5, the standard diffusers postprocess)."""
+    x = decoded.astype(jnp.float32)
+    if value_range == "pm1":
+        x = x / 2.0 + 0.5
+    x = jnp.clip(x, 0.0, 1.0)
+    if x.ndim == 4:  # [B,3,H,W]
+        return jnp.transpose(x, (0, 2, 3, 1))
+    return jnp.transpose(x, (0, 2, 3, 4, 1))  # [B,3,F,H,W] → [B,F,H,W,3]

@@ -1,0 +1,139 @@
+"""CogVideoX pipeline — 4-NFE text-to-video.
+
+Mirrors `CogVideoXPipeline` as the reference drives it (`README.md:114-138`):
+TDM LoRA, `vae.enable_slicing()/enable_tiling()` (here: tiled decode),
+seed 8888, `pipe(prompt, guidance_scale=1, num_inference_steps=4,
+num_frames=49)`. The TDM generator was trained on the custom grid
+t = [999, 856, 665, 399] (`README.md:129`) — that grid is the default here
+(the README notes the stock sampler's uniform grid is a known mismatch,
+`README.md:130-132`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tdm_tpu.core import sampling, schedules as sched
+from tdm_tpu.models import cogvideox as cog, vae3d
+from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_images
+
+TDM_TRAINED_GRID = (999, 856, 665, 399)  # README.md:129
+
+
+class CogVideoXPipeline(DiffusionPipelineBase):
+    def __init__(
+        self,
+        transformer: cog.CogVideoXTransformer3D,
+        transformer_params: Any,
+        *,
+        vae_decoder: Optional[vae3d.VAE3DDecoder] = None,
+        vae_params: Any = None,
+        vae_cfg: Optional[vae3d.VAE3DConfig] = None,
+        text_encoder=None,
+        text_encoder_params: Any = None,
+        tokenizer=None,
+        schedule: Optional[sched.NoiseSchedule] = None,
+        vae_tile: int = 32,
+        vae_tile_overlap: int = 4,
+    ):
+        super().__init__()
+        self.transformer = transformer
+        self.base_params = self.params = transformer_params
+        self.vae_decoder = vae_decoder
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg or vae3d.VAE3DConfig()
+        self.text_encoder = text_encoder
+        self.text_encoder_params = text_encoder_params
+        self.tokenizer = tokenizer
+        self.schedule = schedule if schedule is not None else sched.cogvideox()
+        self.vae_tile = vae_tile
+        self.vae_tile_overlap = vae_tile_overlap
+
+    def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+        if self.tokenizer is None or self.text_encoder is None:
+            raise ValueError("no tokenizer/text_encoder — pass prompt_embeds")
+        ids, mask = self.tokenizer(
+            prompts, max_length=self.transformer.cfg.max_text_len
+        )
+        return self.text_encoder.apply(
+            {"params": self.text_encoder_params}, jnp.asarray(ids), jnp.asarray(mask)
+        )
+
+    def __call__(
+        self,
+        prompt: Optional[list[str]] = None,
+        *,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_embeds: Optional[jnp.ndarray] = None,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 1.0,
+        num_frames: int = 49,
+        height: int = 480,
+        width: int = 720,
+        seed: Optional[int] = None,
+        generator: Optional[jax.Array] = None,
+        timesteps: Optional[Sequence[int]] = None,
+        output_type: str = "video",
+    ) -> PipelineOutput:
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt)
+        use_cfg = guidance_scale is not None and guidance_scale > 1.0
+        uncond = negative_embeds if use_cfg else None
+        if use_cfg and uncond is None:
+            uncond = jnp.zeros_like(prompt_embeds)
+
+        c = self.vae_cfg
+        f_lat = 1 + (num_frames - 1) // c.temporal_factor
+        lat_h, lat_w = height // c.spatial_factor, width // c.spatial_factor
+        b = prompt_embeds.shape[0]
+        noise = jax.random.normal(
+            self.rng(seed, generator),
+            (b, self.transformer.cfg.in_channels, f_lat, lat_h, lat_w),
+            jnp.bfloat16,
+        )
+
+        if timesteps is None:
+            timesteps = (
+                TDM_TRAINED_GRID
+                if num_inference_steps == 4
+                else tuple(
+                    int(t)
+                    for t in sched.fewstep_grid(1000, num_inference_steps).tolist()
+                )
+            )
+        key = (tuple(timesteps), f_lat, lat_h, lat_w, use_cfg,
+               float(guidance_scale or 1.0), self._active)
+        fn = self._cached(key, lambda: self._build_sampler(*key[:6]))
+        latents = fn(noise, prompt_embeds, uncond)
+
+        if output_type == "latent" or self.vae_decoder is None:
+            return PipelineOutput(images=None, latents=latents)
+        decode = lambda z: self.vae_decoder.apply({"params": self.vae_params}, z)
+        video = vae3d.decode_tiled(
+            decode,
+            latents.astype(jnp.float32) / c.scaling_factor,
+            tile=self.vae_tile,
+            overlap=self.vae_tile_overlap,
+            spatial_factor=c.spatial_factor,
+        )
+        return PipelineOutput(
+            images=to_images(video, value_range="pm1"), latents=latents
+        )
+
+    def _build_sampler(self, timesteps, f_lat, lat_h, lat_w, use_cfg, cfg):
+        denoise = cog.make_denoise_fn(self.transformer, self.params)
+        grid = sched.grid_from_list(list(timesteps))
+        schedule = self.schedule
+
+        @jax.jit
+        def run(noise, cond, uncond):
+            return sampling.sample_fewstep(
+                denoise, schedule, noise, cond,
+                timestep_grid=grid,
+                uncond=uncond, cfg=cfg if use_cfg else None,
+            )
+
+        return run

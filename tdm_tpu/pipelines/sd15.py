@@ -1,0 +1,124 @@
+"""SD1.5 / Dreamshaper pipeline — the reference's simplest 4-NFE recipe.
+
+Mirrors `DiffusionPipeline.from_pretrained('lykon/dreamshaper-7')` + TDM
+LoRA + DPM-Solver(SD1.5 config) + `pipe(prompt, num_inference_steps=4,
+guidance_scale=1, seed 317)` (reference `README.md:90-107`). Components:
+CLIP-L text encoder, SD1.5 UNet, KL VAE.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tdm_tpu.core import schedules as sched, solvers
+from tdm_tpu.models import clip as clip_mod, unet_sd15, vae as vae_lib
+from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_images
+
+
+class SD15Pipeline(DiffusionPipelineBase):
+    def __init__(
+        self,
+        unet: unet_sd15.UNet2DCondition,
+        unet_params: Any,
+        *,
+        vae_decoder=None,
+        vae_params: Any = None,
+        vae_scaling: float = 0.18215,
+        vae_range: str = "pm1",
+        text_encoder: Optional[clip_mod.CLIPTextEncoder] = None,
+        text_encoder_params: Any = None,
+        tokenizer=None,
+        schedule: Optional[sched.NoiseSchedule] = None,
+        max_text_len: int = 77,
+    ):
+        super().__init__()
+        self.unet = unet
+        self.base_params = self.params = unet_params
+        self.vae_decoder = vae_decoder
+        self.vae_params = vae_params
+        self.vae_scaling = vae_scaling
+        self.vae_range = vae_range
+        self.text_encoder = text_encoder
+        self.text_encoder_params = text_encoder_params
+        self.tokenizer = tokenizer
+        # SD1.5 scheduler config: scaled_linear β ∈ [0.00085, 0.012]
+        self.schedule = (
+            schedule if schedule is not None else sched.ddpm_scaled_linear()
+        )
+        self.max_text_len = max_text_len
+
+    def encode_prompt(self, prompts: list[str]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self.tokenizer is None or self.text_encoder is None:
+            raise ValueError(
+                "no tokenizer/text_encoder attached — pass prompt_embeds"
+            )
+        ids, mask = self.tokenizer(prompts, max_length=self.max_text_len)
+        out = self.text_encoder.apply(
+            {"params": self.text_encoder_params}, jnp.asarray(ids)
+        )
+        return out.last_hidden_state, jnp.asarray(mask)
+
+    def __call__(
+        self,
+        prompt: Optional[list[str]] = None,
+        *,
+        negative_prompt: Optional[list[str]] = None,
+        prompt_embeds: Optional[tuple] = None,
+        negative_embeds: Optional[tuple] = None,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 1.0,
+        height: int = 512,
+        width: int = 512,
+        seed: Optional[int] = None,
+        generator: Optional[jax.Array] = None,
+        output_type: str = "image",
+    ) -> PipelineOutput:
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt)
+        use_cfg = guidance_scale is not None and guidance_scale > 1.0
+        uncond = None
+        if use_cfg:
+            if negative_embeds is None:
+                negative_embeds = self.encode_prompt(
+                    negative_prompt
+                    if negative_prompt is not None
+                    else [""] * len(prompt)
+                )
+            uncond = negative_embeds
+
+        b = jax.tree.leaves(prompt_embeds)[0].shape[0]
+        lat_h, lat_w = height // 8, width // 8
+        noise = jax.random.normal(
+            self.rng(seed, generator), (b, 4, lat_h, lat_w), jnp.bfloat16
+        )
+
+        key = (num_inference_steps, lat_h, lat_w, use_cfg,
+               float(guidance_scale or 1.0), self._active)
+        fn = self._cached(key, lambda: self._build_sampler(*key[:5]))
+        latents = fn(noise, prompt_embeds, uncond)
+
+        if output_type == "latent" or self.vae_decoder is None:
+            return PipelineOutput(images=None, latents=latents)
+        decoded = self.vae_decoder.apply(
+            {"params": self.vae_params},
+            latents.astype(jnp.float32) / self.vae_scaling,
+        )
+        return PipelineOutput(
+            images=to_images(decoded, value_range=self.vae_range), latents=latents
+        )
+
+    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg):
+        denoise = unet_sd15.make_denoise_fn(self.unet, self.params)
+        grid = solvers.ddpm_grid(self.schedule, steps)
+
+        @jax.jit
+        def run(noise, cond, uncond):
+            return solvers.sample_dpm_solver(
+                denoise, grid, noise, cond,
+                uncond=uncond, cfg=cfg if use_cfg else None,
+            )
+
+        return run

@@ -1,0 +1,169 @@
+"""SD3-Medium pipeline — the reference's headline 4-NFE recipe.
+
+Mirrors `StableDiffusion3Pipeline` exactly as `README.md:44-85` drives it:
+TDM LoRA at adapter scale 0.125, TAESD3 VAE with `shift_factor = 0.0`,
+DPM-Solver multistep on flow sigmas with `flow_shift ∈ [1, 6]`, seed 8888,
+`pipe(prompt, negative_prompt, num_inference_steps=4, height=width=1024,
+guidance_scale=1.0)`; teacher baseline = adapter scale 0 + 28 steps + cfg 7.
+
+Conditioning (triple-encoder stack, pipeline-internal in diffusers):
+  context = concat_seq( pad_dim(concat_dim(CLIP-L penult, CLIP-G penult),
+                        → 4096), T5 sequence embeds )
+  pooled  = concat(CLIP-L projected pooled 768, CLIP-G projected pooled 1280)
+Training is prompt-only, so all of this can also be precomputed offline and
+passed as `prompt_embeds=(context, pooled)`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tdm_tpu.core import solvers
+from tdm_tpu.models import mmdit_sd3, vae as vae_lib
+from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_images
+
+
+class SD3Pipeline(DiffusionPipelineBase):
+    def __init__(
+        self,
+        transformer: mmdit_sd3.SD3Transformer2D,
+        transformer_params: Any,
+        *,
+        vae_decoder=None,
+        vae_params: Any = None,
+        vae_scaling: float = 1.0,  # TAESD3; KL-SD3: 1.5305
+        vae_shift: float = 0.0,  # README.md:52 pins TAESD3 shift to 0.0
+        vae_range: str = "unit",
+        text_encoders: Optional[dict] = None,  # {'clip_l','clip_g','t5'} each (model, params)
+        tokenizers: Optional[dict] = None,
+        flow_shift: float = 6.0,  # README recipe value; knob range 1-6
+        max_t5_len: int = 256,
+    ):
+        super().__init__()
+        self.transformer = transformer
+        self.base_params = self.params = transformer_params
+        self.vae_decoder = vae_decoder
+        self.vae_params = vae_params
+        self.vae_scaling = vae_scaling
+        self.vae_shift = vae_shift
+        self.vae_range = vae_range
+        self.text_encoders = text_encoders or {}
+        self.tokenizers = tokenizers or {}
+        self.flow_shift = flow_shift
+        self.max_t5_len = max_t5_len
+
+    def encode_prompt(self, prompts: list[str]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """→ (context [B, L, 4096], pooled [B, 2048]); needs all three
+        encoder+tokenizer pairs attached."""
+        need = {"clip_l", "clip_g", "t5"}
+        if not need <= set(self.text_encoders) or not need <= set(self.tokenizers):
+            raise ValueError(
+                "SD3 needs clip_l/clip_g/t5 encoders+tokenizers — or pass "
+                "prompt_embeds=(context, pooled) precomputed"
+            )
+        ctx_dim = self.transformer.cfg.context_dim
+
+        seqs, pooleds = [], []
+        for name in ("clip_l", "clip_g"):
+            model, params = self.text_encoders[name]
+            ids, _ = self.tokenizers[name](prompts, max_length=77)
+            out = model.apply({"params": params}, jnp.asarray(ids))
+            # SD3 reads the PENULTIMATE hidden layer for the sequence path
+            seqs.append(out.hidden_states[-2])
+            pooleds.append(out.pooled)
+        clip_seq = jnp.concatenate(seqs, axis=-1)  # [B, 77, 768+1280]
+        clip_seq = jnp.pad(
+            clip_seq, ((0, 0), (0, 0), (0, ctx_dim - clip_seq.shape[-1]))
+        )
+        t5_model, t5_params = self.text_encoders["t5"]
+        ids, mask = self.tokenizers["t5"](prompts, max_length=self.max_t5_len)
+        t5_seq = t5_model.apply(
+            {"params": t5_params}, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        context = jnp.concatenate([clip_seq, t5_seq], axis=1)
+        pooled = jnp.concatenate(pooleds, axis=-1)  # [B, 2048]
+        return context, pooled
+
+    def __call__(
+        self,
+        prompt: Optional[list[str]] = None,
+        *,
+        negative_prompt: Optional[list[str]] = None,
+        prompt_embeds: Optional[tuple] = None,
+        negative_embeds: Optional[tuple] = None,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        seed: Optional[int] = None,
+        generator: Optional[jax.Array] = None,
+        flow_shift: Optional[float] = None,
+        output_type: str = "image",
+    ) -> PipelineOutput:
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt)
+        use_cfg = guidance_scale is not None and guidance_scale > 1.0
+        uncond = None
+        if use_cfg:
+            if negative_embeds is None:
+                negative_embeds = self.encode_prompt(
+                    negative_prompt
+                    if negative_prompt is not None
+                    else [""] * len(prompt)
+                )
+            uncond = negative_embeds
+
+        shift = self.flow_shift if flow_shift is None else flow_shift
+        b = jax.tree.leaves(prompt_embeds)[0].shape[0]
+        lat_h, lat_w = height // 8, width // 8
+        noise = jax.random.normal(
+            self.rng(seed, generator),
+            (b, self.transformer.cfg.in_channels, lat_h, lat_w),
+            jnp.bfloat16,
+        )
+
+        key = (num_inference_steps, lat_h, lat_w, use_cfg,
+               float(guidance_scale or 1.0), float(shift), self._active)
+        fn = self._cached(key, lambda: self._build_sampler(*key[:6]))
+        latents = fn(noise, prompt_embeds, uncond)
+
+        if output_type == "latent" or self.vae_decoder is None:
+            return PipelineOutput(images=None, latents=latents)
+        decoded = self.vae_decoder.apply(
+            {"params": self.vae_params},
+            latents.astype(jnp.float32) / self.vae_scaling + self.vae_shift,
+        )
+        return PipelineOutput(
+            images=to_images(decoded, value_range=self.vae_range), latents=latents
+        )
+
+    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg, shift):
+        denoise = mmdit_sd3.make_denoise_fn(self.transformer, self.params)
+        grid = solvers.flow_grid(steps, flow_shift=shift)
+
+        @jax.jit
+        def run(noise, cond, uncond):
+            return solvers.sample_dpm_solver(
+                denoise, grid, noise, cond,
+                uncond=uncond, cfg=cfg if use_cfg else None,
+            )
+
+        return run
+
+
+def default_sd3_pipeline(transformer_params, vae_params, *, cfg=None, **kw):
+    """The README recipe assembly: SD3 MMDiT + TAESD3(shift 0)."""
+    cfg = cfg or mmdit_sd3.MMDiTConfig()
+    vae_cfg = vae_lib.TAESDConfig.taesd3()
+    return SD3Pipeline(
+        mmdit_sd3.SD3Transformer2D(cfg=cfg),
+        transformer_params,
+        vae_decoder=vae_lib.TAESDDecoder(cfg=vae_cfg),
+        vae_params=vae_params,
+        vae_scaling=vae_cfg.scaling_factor,
+        vae_shift=0.0,
+        **kw,
+    )

@@ -1,0 +1,203 @@
+"""Pipeline API tests — the §3.4 call contract on tiny models: prompt
+encoding, CFG on/off, LoRA verbs (load / set_adapters scale), determinism
+under fixed seed, decode plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.lora import LoRA, init_lora, save_kohya
+from tdm_tpu.models import (
+    clip as clip_mod,
+    cogvideox as cog,
+    mmdit_sd3,
+    pixart,
+    t5 as t5_mod,
+    unet_sd15,
+    vae as vae_lib,
+    vae3d,
+)
+from tdm_tpu.pipelines import (
+    CogVideoXPipeline,
+    PixArtPipeline,
+    SD3Pipeline,
+    SD15Pipeline,
+)
+
+
+class FakeTokenizer:
+    """Deterministic stand-in: hashes words to ids (tests only)."""
+
+    def __init__(self, vocab=90, eos=95):
+        self.vocab, self.eos = vocab, eos
+
+    def __call__(self, texts, max_length):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % self.vocab for w in t.split()][: max_length - 1]
+            ids[i, : len(toks)] = toks
+            ids[i, len(toks)] = self.eos
+            mask[i, : len(toks) + 1] = 1
+        return ids, mask
+
+
+@pytest.fixture(scope="module")
+def pixart_pipe():
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask)[
+        "params"
+    ]
+    tcfg = t5_mod.T5Config.tiny()  # d_model 32 == tiny caption_dim
+    enc = t5_mod.T5Encoder(cfg=tcfg)
+    tparams = enc.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32), mask
+    )["params"]
+    vcfg = vae_lib.TAESDConfig(width=8, num_stages=1, blocks_per_stage=1)
+    dec = vae_lib.TAESDDecoder(cfg=vcfg)
+    vparams = dec.init(jax.random.PRNGKey(2), lat)["params"]
+    return PixArtPipeline(
+        model, params,
+        vae_decoder=dec, vae_params=vparams,
+        text_encoder=enc, text_encoder_params=tparams,
+        tokenizer=FakeTokenizer(vocab=120), max_text_len=8,
+    )
+
+
+def test_pixart_call_contract(pixart_pipe):
+    out = pixart_pipe(
+        ["a cat"], num_inference_steps=4, height=128, width=128, seed=42
+    )
+    # 16×16 latent → TAESD(1 stage ×2) → 32×32 image… height/8=16, ×2 = 32
+    assert out.images.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out.images)).all()
+    assert float(out.images.min()) >= 0.0 and float(out.images.max()) <= 1.0
+    # determinism under fixed seed
+    out2 = pixart_pipe(
+        ["a cat"], num_inference_steps=4, height=128, width=128, seed=42
+    )
+    np.testing.assert_array_equal(np.asarray(out.images), np.asarray(out2.images))
+    # different seed → different image
+    out3 = pixart_pipe(
+        ["a cat"], num_inference_steps=4, height=128, width=128, seed=7
+    )
+    assert not np.allclose(np.asarray(out.images), np.asarray(out3.images))
+
+
+def test_pixart_cfg_changes_output(pixart_pipe):
+    a = pixart_pipe(["a cat"], guidance_scale=1.0, height=128, width=128, seed=1)
+    b = pixart_pipe(
+        ["a cat"], negative_prompt=["ugly"], guidance_scale=4.5,
+        height=128, width=128, seed=1,
+    )
+    assert not np.allclose(np.asarray(a.images), np.asarray(b.images))
+
+
+def test_lora_verbs(pixart_pipe, tmp_path):
+    base = pixart_pipe(["a cat"], height=128, width=128, seed=3)
+    rng = jax.random.PRNGKey(9)
+    lora = init_lora(pixart_pipe.base_params, rng, rank=2)
+    lora = LoRA(
+        params=jax.tree.map(
+            lambda x: x + 0.1 * jax.random.normal(rng, x.shape), lora.params
+        ),
+        alpha=lora.alpha,
+    )
+    f = str(tmp_path / "l.safetensors")
+    save_kohya(lora, f, dtype=np.float32)
+
+    pixart_pipe.load_lora_weights(f, adapter_name="tdm")
+    with_lora = pixart_pipe(["a cat"], height=128, width=128, seed=3)
+    assert not np.allclose(np.asarray(base.images), np.asarray(with_lora.images))
+
+    # scale 0 == adapter off (the teacher-baseline trick, README.md:69-71)
+    pixart_pipe.set_adapters(["tdm"], [0.0])
+    off = pixart_pipe(["a cat"], height=128, width=128, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(base.images), np.asarray(off.images), atol=1e-6
+    )
+    pixart_pipe.set_adapters(["tdm"], [0.0])  # leave pristine for other tests
+
+
+def test_sd15_pipeline_latent_path():
+    cfg = unet_sd15.UNetConfig.tiny()
+    model = unet_sd15.UNet2DCondition(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    ctx = jnp.zeros((1, 6, cfg.context_dim))
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, jnp.ones((1, 6), jnp.int32)
+    )["params"]
+    pipe = SD15Pipeline(model, params)
+    embeds = (
+        jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.context_dim)),
+        jnp.ones((1, 6), jnp.int32),
+    )
+    out = pipe(
+        prompt_embeds=embeds, num_inference_steps=4, height=128, width=128,
+        seed=317, output_type="latent",
+    )
+    assert out.latents.shape == (1, 4, 16, 16)
+    assert np.isfinite(np.asarray(out.latents, dtype=np.float32)).all()
+
+
+def test_sd3_pipeline_flow_shift_knob():
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 16, 8, 8))
+    ctx = jnp.zeros((1, 6, cfg.context_dim))
+    pooled = jnp.zeros((1, cfg.pooled_dim))
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, pooled
+    )["params"]
+    pipe = SD3Pipeline(model, params)
+    embeds = (
+        jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.context_dim)),
+        jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim)),
+    )
+    kw = dict(
+        prompt_embeds=embeds, num_inference_steps=4, height=64, width=64,
+        seed=8888, output_type="latent",
+    )
+    a = pipe(flow_shift=1.0, **kw)
+    b = pipe(flow_shift=6.0, **kw)
+    assert a.latents.shape == (1, 16, 8, 8)
+    assert not np.allclose(
+        np.asarray(a.latents, dtype=np.float32),
+        np.asarray(b.latents, dtype=np.float32),
+    )
+
+
+def test_cogvideox_pipeline_video_decode():
+    cfg = cog.CogVideoXConfig.tiny()
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    vcfg = vae3d.VAE3DConfig.tiny()
+    dec = vae3d.VAE3DDecoder(cfg=vcfg)
+    lat = jnp.zeros((1, 16, cfg.sample_frames, cfg.sample_h, cfg.sample_w))
+    text = jnp.zeros((1, cfg.max_text_len, cfg.text_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text)["params"]
+    vparams = dec.init(jax.random.PRNGKey(1), lat)["params"]
+    pipe = CogVideoXPipeline(
+        model, params, vae_decoder=dec, vae_params=vparams, vae_cfg=vcfg,
+        vae_tile=8, vae_tile_overlap=2,
+    )
+    num_frames = 1 + (cfg.sample_frames - 1) * vcfg.temporal_factor
+    out = pipe(
+        prompt_embeds=jax.random.normal(
+            jax.random.PRNGKey(3), (1, cfg.max_text_len, cfg.text_dim)
+        ),
+        num_inference_steps=4,
+        num_frames=num_frames,
+        height=cfg.sample_h * vcfg.spatial_factor,
+        width=cfg.sample_w * vcfg.spatial_factor,
+        seed=8888,
+    )
+    assert out.images.shape == (
+        1, num_frames,
+        cfg.sample_h * vcfg.spatial_factor, cfg.sample_w * vcfg.spatial_factor, 3,
+    )
+    assert np.isfinite(np.asarray(out.images)).all()

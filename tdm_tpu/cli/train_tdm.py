@@ -1,0 +1,270 @@
+"""TDM distillation CLI — the `train_tdm_demo.py` / `src/main.py:main()`
+equivalent, TPU-native.
+
+Run:  python -m tdm_tpu.cli.train_tdm --output_dir out --dataset_name ...
+Launch semantics: the reference uses `accelerate launch --num_processes=2`
+(`README.md:158-162`); on TPU there is nothing to launch — one process per
+host, all local devices join the ('data','fsdp') mesh automatically, and the
+gradient mean compiles to an ICI psum inside the jitted step.
+
+Pipeline per §3.1 with the §2 defects fixed (see train/tdm.py):
+  mesh → schedule tables → student/critic/teacher params → optax → prompt
+  data (embedding cache preferred) → jitted train step → loop
+  [step → metrics cadence → validation grids @50 → orbax checkpoint @500]
+  with `--resume_from_checkpoint latest` restore.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.data import prompts as data_prompts, tokenizer as tok_lib
+    from tdm_tpu.models import pixart, vae as vae_lib
+    from tdm_tpu.parallel import mesh as pmesh
+    from tdm_tpu.train import optim as topt, tdm, validation
+    from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
+
+    cfg = cfg_lib.parse_args(argv)
+    out_dir = cfg.resolved_output_dir()
+    main_process = jax.process_index() == 0
+    logger = log_lib.setup_logging(main_process=main_process)
+    logger.info("config: %s", cfg)
+    logger.info("devices: %s", jax.devices())
+
+    # ---- mesh: all devices data-parallel (the reference topology) ----
+    n_dev = len(jax.devices())
+    mesh = pmesh.make_mesh(n_dev, 1)
+    batch_sh = pmesh.batch_sharding(mesh)
+    # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
+    # the jitted step sees the global batch sharded over 'data'
+    global_batch = cfg.train_batch_size * n_dev
+
+    # ---- model (PixArt-α, the demo's training model) ----
+    tiny = os.environ.get("TDM_TINY_MODEL", "") == "1"  # smoke-test escape
+    mcfg = pixart.PixArtConfig.tiny() if tiny else pixart.PixArtConfig()
+    model = pixart.PixArtTransformer2D(cfg=mcfg)
+    lat = mcfg.sample_size
+    sample_shape = (mcfg.in_channels, lat, lat)
+    seq_len = 8 if tiny else 120
+
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    init_latent = jnp.zeros((1, *sample_shape))
+    init_text = jnp.zeros((1, seq_len, mcfg.caption_dim))
+    init_mask = jnp.ones((1, seq_len), jnp.int32)
+    path = cfg.pretrained_model_name_or_path
+    if os.path.isdir(path):
+        from tdm_tpu.io import convert
+
+        sd = convert.load_torch_state_dict(path)
+        teacher = convert.to_jax(convert.pixart_params(sd))
+        logger.info("loaded teacher weights from %s", path)
+    else:
+        teacher = jax.jit(model.init)(
+            rng, init_latent, jnp.zeros((1,)), init_text, init_mask
+        )["params"]
+        logger.warning(
+            "no local checkpoint at %r — training from RANDOM teacher "
+            "weights (smoke mode; real distillation needs ported weights)",
+            path,
+        )
+
+    def denoise_fn(params, x, t, cond):
+        text, mask = cond
+        return pixart.epsilon(model.apply({"params": params}, x, t, text, mask))
+
+    # ---- optimizers (recipe: README.md:157-178) ----
+    n_total_steps = cfg.max_train_steps or 10001
+    lr = topt.make_lr_schedule(
+        cfg.lr_scheduler,
+        cfg.effective_lr(n_dev),
+        warmup_steps=cfg.lr_warmup_steps,
+        total_steps=n_total_steps,
+    )
+    tx_s = topt.make_optimizer(
+        lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
+        weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
+        low_precision_moments=cfg.use_8bit_adam,
+    )
+    tx_c = topt.make_optimizer(
+        lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
+        weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
+        low_precision_moments=cfg.use_8bit_adam,
+    )
+
+    # ---- data: prompts → embedding batches ----
+    emb_cache_path = os.environ.get("TDM_EMBEDDING_CACHE", "")
+    if emb_cache_path and os.path.exists(emb_cache_path):
+        cache = data_prompts.EmbeddingCache.load(emb_cache_path)
+        batches = cache.batches(
+            global_batch, seed=cfg.seed or 0,
+            host_index=jax.process_index(), host_count=jax.process_count(),
+        )
+        get_batch = lambda: next(batches)
+        logger.info("streaming %d cached embeddings", len(cache.prompts))
+    else:
+        # no cache: tokenize + (random-init unless provided) encoder would
+        # be meaningless — smoke mode uses hash-projected pseudo-embeddings
+        # that are deterministic per prompt
+        tok = tok_lib.HashTokenizer()
+        src = cfg.train_data_dir
+        batcher = None
+        if src and os.path.isfile(src) and src.endswith((".txt", ".jsonl")):
+            # native C++ mmap+prefetch loader (the dataloader-workers
+            # equivalent); falls back to the Python batcher without g++
+            from tdm_tpu.data import native_loader
+
+            if native_loader.available():
+                batcher = native_loader.NativePromptLoader(
+                    src, global_batch, caption_column=cfg.caption_column,
+                    tokenizer=tok, max_length=seq_len, seed=cfg.seed or 0,
+                    host_index=jax.process_index(),
+                    host_count=jax.process_count(),
+                )
+                logger.info(
+                    "native loader: %d prompts from %s",
+                    batcher.num_prompts, src,
+                )
+        if batcher is None:
+            prompt_list = data_prompts.load_prompts(
+                src or list(cfg.validation_prompts) * 8,
+                caption_column=cfg.caption_column,
+                max_samples=cfg.max_train_samples,
+            )
+            batcher = iter(
+                data_prompts.PromptBatcher(
+                    prompt_list, global_batch, tokenizer=tok,
+                    max_length=seq_len, seed=cfg.seed or 0,
+                    host_index=jax.process_index(),
+                    host_count=jax.process_count(),
+                )
+            )
+        proj = np.random.default_rng(0).normal(
+            size=(tok.vocab_size, mcfg.caption_dim)
+        ).astype(np.float32) * 0.02
+
+        def get_batch():
+            b = next(batcher)
+            return proj[b["input_ids"]], b["attention_mask"]
+
+        logger.warning(
+            "no TDM_EMBEDDING_CACHE — using hash pseudo-embeddings "
+            "(smoke mode; build a T5 cache for real training)"
+        )
+
+    # ---- the jitted TDM step ----
+    tdm_cfg = tdm.TDMConfig(
+        cfg=cfg.cfg, total_steps=cfg.total_steps, num_steps=cfg.num_steps,
+        use_huber=cfg.use_huber, use_separate=cfg.use_separate,
+    )
+    schedule = sched.ddpm_linear()
+    step_fn = tdm.build_train_step(
+        denoise_fn, teacher, schedule, tdm_cfg, tx_s, tx_c,
+        sample_shape=sample_shape,
+    )
+    state = tdm.init_state(teacher, teacher, tx_s, tx_c, use_ema=cfg.use_ema)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # ---- resume ----
+    mgr = ckpt_lib.CheckpointManager(
+        out_dir, total_limit=cfg.checkpoints_total_limit
+    )
+    global_step = 0
+    if cfg.resume_from_checkpoint:
+        step0 = ckpt_lib.resolve_resume_step(out_dir, cfg.resume_from_checkpoint)
+        if step0 is not None:
+            state = mgr.restore(state, step0)
+            global_step = int(step0)
+            logger.info("resumed from checkpoint-%d", global_step)
+        else:
+            logger.info("no checkpoint found; starting fresh")
+
+    metrics_log = log_lib.MetricLogger(
+        os.path.join(out_dir, cfg.logging_dir),
+        report_to=cfg.report_to, enabled=main_process,
+    )
+    timer = log_lib.StepTimer()
+
+    # fixed validation inputs (prompts src/main.py:424-429, noise key 42)
+    n_val = len(cfg.validation_prompts)
+    val_noise = jax.random.normal(
+        jax.random.PRNGKey(42), (n_val, *sample_shape), jnp.float32
+    )
+    val_text, val_mask = get_batch()
+    val_cond = (
+        jnp.asarray(val_text[:n_val]),
+        jnp.asarray(val_mask[:n_val], jnp.int32),
+    )
+
+    decode_fn = None
+    vae_dir = os.environ.get("TDM_TAESD_DIR", "")
+    if vae_dir:
+        # TAESD decode for validation grids (src/main.py:166)
+        from tdm_tpu.io import convert
+
+        vcfg = vae_lib.TAESDConfig()
+        dec = vae_lib.TAESDDecoder(cfg=vcfg)
+        vparams = convert.to_jax(
+            convert.taesd_params(convert.load_torch_state_dict(vae_dir))
+        )
+        decode_fn = jax.jit(
+            lambda z: dec.apply({"params": vparams}, z / vcfg.scaling_factor)
+        )
+
+    # ---- loop (per-optimizer-step accounting — defect §2.5 fixed) ----
+    rng = jax.random.PRNGKey((cfg.seed or 0) + jax.process_index() + 1)
+    while global_step < n_total_steps:
+        text_np, mask_np = get_batch()
+        cond = (
+            jax.device_put(jnp.asarray(text_np), batch_sh),
+            jax.device_put(jnp.asarray(mask_np, jnp.int32), batch_sh),
+        )
+        uncond = (jnp.zeros_like(cond[0]), cond[1])
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, step_rng, cond, uncond)
+        global_step += 1
+
+        dt = timer.tick()
+        if global_step % 10 == 0 or global_step == 1:
+            m = {k: float(v) for k, v in metrics._asdict().items()}
+            if dt:
+                m["steps_per_sec"] = 1.0 / max(dt, 1e-9)
+            metrics_log.log(m, global_step)
+            logger.info(
+                "step %d loss_student %.4f loss_critic %.4f",
+                global_step, m["loss_student"], m["loss_critic"],
+            )
+        if (
+            decode_fn is not None
+            and main_process
+            and global_step % cfg.validation_steps == 0
+        ):
+            validation.save_validation_images(
+                denoise_fn, state.student, schedule, val_cond, val_noise,
+                decode_fn, output_dir=out_dir, step=global_step,
+                total_steps=cfg.total_steps,
+            )
+        if global_step % cfg.checkpointing_steps == 0:
+            mgr.save(global_step, state)
+            logger.info("saved checkpoint-%d", global_step)
+
+    mgr.save(global_step, state)
+    mgr.wait()
+    metrics_log.close()
+    logger.info("done at step %d", global_step)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,168 @@
+"""Prompt data pipeline — TDM training is image-free (prompts only).
+
+Rebuilds the reference's data path (`src/main.py:231-304`): HF
+`datasets.load_dataset` (hub name or local folder) → caption-column pick →
+tokenize map → shuffling DataLoader emitting (input_ids, attention_mask).
+On TPU the same pipeline is a host-side numpy batcher: prompts are tiny
+(bytes/sample), so the only real work — T5 encoding — happens on device, and
+the best layout is to PRE-ENCODE prompts once and stream cached embeddings
+(`EmbeddingCache`), which removes the frozen 4.7B-param T5 from training HBM
+entirely (SURVEY.md §2 table B "text encoders": precomputed-embedding path).
+
+Sources supported: .txt (one prompt/line), .jsonl (caption column), .parquet
+(via datasets if available), an HF datasets name, or an in-memory list.
+Per-host sharding: host h of H takes prompts[h::H] (the jax.process_index
+split replacing the DataLoader's DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def load_prompts(
+    source,
+    *,
+    caption_column: str = "prompt",
+    max_samples: Optional[int] = None,
+) -> list[str]:
+    """→ list of prompt strings from any supported source (reference
+    caption-column logic `src/main.py:253-261`)."""
+    if isinstance(source, (list, tuple)):
+        prompts = [str(p) for p in source]
+    elif os.path.isfile(source) and source.endswith(".txt"):
+        with open(source) as f:
+            prompts = [line.strip() for line in f if line.strip()]
+    elif os.path.isfile(source) and source.endswith(".jsonl"):
+        prompts = []
+        with open(source) as f:
+            for line in f:
+                if line.strip():
+                    row = json.loads(line)
+                    prompts.append(str(row[caption_column]))
+    else:
+        # HF datasets path (hub name or local dir) — the reference default
+        # (JourneyDB, src/args.py:42-47)
+        import datasets  # lazy: heavy import
+
+        ds = datasets.load_dataset(source, split="train")
+        if caption_column not in ds.column_names:
+            raise ValueError(
+                f"caption column {caption_column!r} not in {ds.column_names}"
+            )
+        prompts = [str(p) for p in ds[caption_column]]
+    if max_samples is not None:
+        prompts = prompts[:max_samples]
+    if not prompts:
+        raise ValueError(f"no prompts loaded from {source!r}")
+    return prompts
+
+
+@dataclass
+class PromptBatcher:
+    """Infinite shuffling batcher over a (host-sharded) prompt list.
+
+    Emits dict(prompts=list[str], input_ids, attention_mask) when a
+    tokenizer is attached, else just the raw prompts. Deterministic under
+    `seed` (reshuffles each epoch like the reference's shuffling DataLoader,
+    `src/main.py:298-304`)."""
+
+    prompts: Sequence[str]
+    batch_size: int
+    tokenizer: Optional[object] = None
+    max_length: int = 120  # T5 max_length for PixArt (src/main.py:417-421)
+    seed: int = 0
+    host_index: int = 0
+    host_count: int = 1
+
+    def __post_init__(self):
+        shard = list(self.prompts)[self.host_index :: self.host_count]
+        if not shard:
+            raise ValueError(
+                f"host {self.host_index}/{self.host_count} got an empty shard"
+            )
+        self._shard = shard
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self.host_index)
+        n = len(self._shard)
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - self.batch_size + 1, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                batch_prompts = [self._shard[i] for i in idx]
+                out = {"prompts": batch_prompts}
+                if self.tokenizer is not None:
+                    ids, mask = self.tokenizer(
+                        batch_prompts, max_length=self.max_length
+                    )
+                    out["input_ids"] = np.asarray(ids)
+                    out["attention_mask"] = np.asarray(mask)
+                yield out
+            if n < self.batch_size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} > shard size {n}"
+                )
+
+
+class EmbeddingCache:
+    """Offline T5-embedding cache: encode every prompt once, stream
+    (embeds, mask) batches at train time — the TPU-preferred path (the
+    frozen encoder never occupies training HBM; reference equivalent is the
+    per-step no-grad T5 forward, `src/main.py:458-461`)."""
+
+    def __init__(self, embeds: np.ndarray, masks: np.ndarray, prompts: list[str]):
+        self.embeds = embeds  # [N, L, D] (fp16/bf16-as-fp32 on disk)
+        self.masks = masks  # [N, L]
+        self.prompts = prompts
+
+    @staticmethod
+    def build(
+        prompts: Sequence[str], tokenizer, encode_fn, *, max_length: int = 120,
+        batch_size: int = 32,
+    ) -> "EmbeddingCache":
+        """encode_fn(ids [B,L], mask [B,L]) → embeds [B,L,D] (jit-wrapped
+        T5 forward)."""
+        embeds, masks = [], []
+        prompts = list(prompts)
+        for i in range(0, len(prompts), batch_size):
+            chunk = prompts[i : i + batch_size]
+            pad = batch_size - len(chunk)  # keep a single compiled shape
+            ids, mask = tokenizer(chunk + [""] * pad, max_length=max_length)
+            e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
+            embeds.append(e[: len(chunk)].astype(np.float16))
+            masks.append(np.asarray(mask)[: len(chunk)])
+        return EmbeddingCache(
+            np.concatenate(embeds), np.concatenate(masks), prompts
+        )
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, embeds=self.embeds, masks=self.masks,
+            prompts=np.asarray(self.prompts, dtype=object),
+        )
+
+    @staticmethod
+    def load(path: str) -> "EmbeddingCache":
+        z = np.load(path, allow_pickle=True)
+        return EmbeddingCache(z["embeds"], z["masks"], list(z["prompts"]))
+
+    def batches(
+        self, batch_size: int, *, seed: int = 0,
+        host_index: int = 0, host_count: int = 1,
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        idx_all = np.arange(len(self.prompts))[host_index::host_count]
+        rng = np.random.default_rng(seed + host_index)
+        while True:
+            order = rng.permutation(len(idx_all))
+            for s in range(0, len(idx_all) - batch_size + 1, batch_size):
+                sel = idx_all[order[s : s + batch_size]]
+                yield (
+                    self.embeds[sel].astype(np.float32),
+                    self.masks[sel],
+                )

@@ -144,6 +144,96 @@ def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
     return tree
 
 
+# ---------------------------------------------------------------------------
+# PixArt-α DiT (diffusers Transformer2DModel → models/pixart)
+# ---------------------------------------------------------------------------
+
+
+def pixart_params(sd: dict[str, np.ndarray]) -> dict:
+    """diffusers PixArt transformer state dict → PixArtTransformer2D tree.
+
+    Key layout per the PixArt-XL-2-512x512 checkpoint: pos_embed.proj (conv
+    patchify), adaln_single.{emb.timestep_embedder, linear}, caption_
+    projection.{linear_1,linear_2}, transformer_blocks.{i}.{scale_shift_table,
+    attn1, attn2, ff.net.{0.proj,2}}, final scale_shift_table + proj_out."""
+    tree: dict = {}
+    _conv(sd, tree, "pos_embed.proj", "pos_embed/proj")
+    for j in (1, 2):
+        _linear(sd, tree, f"adaln_single.emb.timestep_embedder.linear_{j}",
+                f"t_embedder/linear_{j}")
+    _linear(sd, tree, "adaln_single.linear", "t_block")
+    _linear(sd, tree, "caption_projection.linear_1", "caption_linear_1")
+    _linear(sd, tree, "caption_projection.linear_2", "caption_linear_2")
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"transformer_blocks\.(\d+)\.", k))
+    )
+    for i in range(n_layers):
+        src = f"transformer_blocks.{i}"
+        dst = f"blocks_{i}"
+        _set(tree, f"{dst}/scale_shift_table", sd[f"{src}.scale_shift_table"])
+        for attn in ("attn1", "attn2"):
+            for p in ("to_q", "to_k", "to_v"):
+                _linear(sd, tree, f"{src}.{attn}.{p}", f"{dst}/{attn}/{p}")
+            _linear(sd, tree, f"{src}.{attn}.to_out.0", f"{dst}/{attn}/to_out")
+        _linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
+        _linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
+    _set(tree, "final_scale_shift_table", sd["scale_shift_table"])
+    _linear(sd, tree, "proj_out", "proj_out")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# TAESD (diffusers AutoencoderTiny → models/vae TAESD{Encoder,Decoder})
+# ---------------------------------------------------------------------------
+
+
+def taesd_params(
+    sd: dict[str, np.ndarray],
+    *,
+    num_stages: int = 3,
+    blocks_per_stage: int = 3,
+) -> dict:
+    """AutoencoderTiny state dict → {encoder: ..., decoder: ...} trees.
+
+    The torch module is one nn.Sequential per side, so keys are positional
+    (`decoder.layers.{n}...`); indices are recomputed here from the stage
+    structure (decoder: conv_in, relu, [3 blocks, upsample, conv]×3, block,
+    conv_out — matching madebyollin/taesd and TAESD3)."""
+    def block(dst_tree, src, dst):
+        for j, conv_idx in enumerate((0, 2, 4)):
+            _conv(sd, dst_tree, f"{src}.conv.{conv_idx}", f"{dst}/conv_{j}")
+        if f"{src}.skip.weight" in sd:
+            _conv(sd, dst_tree, f"{src}.skip", f"{dst}/skip")
+
+    tree: dict = {"encoder": {}, "decoder": {}}
+    dec = tree["decoder"]
+    if any(k.startswith("decoder.") for k in sd):
+        idx = 0
+        _conv(sd, dec, f"decoder.layers.{idx}", "conv_in"); idx += 2  # +ReLU
+        for s in range(num_stages):
+            for b in range(blocks_per_stage):
+                block(dec, f"decoder.layers.{idx}", f"stage_{s}_block_{b}")
+                idx += 1
+            idx += 1  # nn.Upsample (no params)
+            _conv(sd, dec, f"decoder.layers.{idx}", f"stage_{s}_conv"); idx += 1
+        block(dec, f"decoder.layers.{idx}", "block_out"); idx += 1
+        _conv(sd, dec, f"decoder.layers.{idx}", "conv_out")
+    enc = tree["encoder"]
+    if any(k.startswith("encoder.") for k in sd):
+        idx = 0
+        _conv(sd, enc, f"encoder.layers.{idx}", "conv_in"); idx += 1
+        block(enc, f"encoder.layers.{idx}", "block_in"); idx += 1
+        for s in range(num_stages):
+            _conv(sd, enc, f"encoder.layers.{idx}", f"stage_{s}_down"); idx += 1
+            for b in range(blocks_per_stage):
+                block(enc, f"encoder.layers.{idx}", f"stage_{s}_block_{b}")
+                idx += 1
+        _conv(sd, enc, f"encoder.layers.{idx}", "conv_out")
+    return tree
+
+
 def to_jax(tree: Any, dtype=None) -> Any:
     """numpy tree → jnp tree (optionally casting float leaves)."""
     import jax.numpy as jnp

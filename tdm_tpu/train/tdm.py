@@ -275,12 +275,17 @@ def init_state(
     use_ema: bool = False,
 ) -> TrainState:
     """Fresh TrainState; student/critic both start from the teacher weights
-    in the reference recipe (`src/main.py:168-176`)."""
+    in the reference recipe (`src/main.py:168-176`).
+
+    Each role gets an independent COPY: callers routinely pass the same
+    teacher tree for both (the recipe), and aliased buffers break
+    `jax.jit(..., donate_argnums)` ("donate the same buffer twice")."""
+    copy = lambda tree: jax.tree.map(jnp.copy, tree)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
-        student=student_params,
+        student=copy(student_params),
         student_opt=student_tx.init(student_params),
-        critic=critic_params,
+        critic=copy(critic_params),
         critic_opt=critic_tx.init(critic_params),
-        ema=jax.tree.map(lambda x: x, student_params) if use_ema else None,
+        ema=copy(student_params) if use_ema else None,
     )

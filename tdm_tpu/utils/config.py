@@ -1,0 +1,171 @@
+"""Training configuration — argparse surface with reference flag parity.
+
+Rebuilds `src/args.py:20-339` (the reference's 50-odd flags) as a dataclass +
+argparse pair. Flag names are kept verbatim where the concept survives the
+TPU port; flags that only configure the torch/accelerate stack are kept as
+accepted-but-reinterpreted (`--mixed_precision` → bf16 toggle,
+`--enable_xformers_memory_efficient_attention` → Pallas flash attention
+toggle) so reference launch commands keep working. The derived output-dir
+suffix encodes cfg/total_steps/Reg/Huber exactly like `src/main.py:75-79`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class TrainConfig:
+    # model / data (src/args.py:24-66)
+    pretrained_model_name_or_path: str = "PixArt-alpha/PixArt-XL-2-512x512"
+    revision: Optional[str] = None
+    variant: Optional[str] = None
+    dataset_name: Optional[str] = "JourneyDB/JourneyDB"
+    dataset_config_name: Optional[str] = None
+    train_data_dir: Optional[str] = None
+    image_column: str = "image"
+    caption_column: str = "prompt"  # src/args.py:60-66
+    max_train_samples: Optional[int] = None
+    cache_dir: Optional[str] = None
+
+    # image geometry (unused in image-free training; parity only)
+    resolution: int = 512
+    center_crop: bool = False
+    random_flip: bool = False
+
+    # core loop (src/args.py:120-160)
+    output_dir: str = "tdm-output"
+    seed: Optional[int] = None
+    train_batch_size: int = 4
+    num_train_epochs: int = 100
+    max_train_steps: Optional[int] = 10001
+    gradient_accumulation_steps: int = 1
+    gradient_checkpointing: bool = False
+
+    # optimizer / LR (src/args.py:161-231)
+    learning_rate: float = 2e-5
+    scale_lr: bool = False
+    lr_scheduler: str = "cosine_with_restarts"
+    lr_warmup_steps: int = 50
+    snr_gamma: Optional[float] = None  # parsed-but-unused in reference too
+    use_8bit_adam: bool = False  # → bf16 optimizer moments on TPU
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    use_ema: bool = False
+    non_ema_revision: Optional[str] = None
+
+    # precision / memory (src/args.py:232-242,277-279)
+    mixed_precision: Optional[str] = "bf16"  # fp16 recipes run bf16 on TPU
+    enable_xformers_memory_efficient_attention: bool = False  # → Pallas flash
+    allow_tf32: bool = False  # no-op on TPU (MXU bf16 is the native fast path)
+    dataloader_num_workers: int = 0
+    local_rank: int = -1
+
+    # logging / hub (src/args.py:243-252,94-119)
+    logging_dir: str = "logs"
+    report_to: str = "tensorboard"
+    tracker_project_name: str = "tdm-tpu"
+    push_to_hub: bool = False
+    hub_token: Optional[str] = None
+    hub_model_id: Optional[str] = None
+
+    # checkpointing (src/args.py:253-276)
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = None
+    resume_from_checkpoint: Optional[str] = None
+
+    # validation (src/args.py:280-301)
+    validation_prompts: tuple = (
+        # the fixed grid prompts of src/main.py:424-429
+        "a photo of a cat",
+        "a photo of a dog",
+        "a photo of a panda",
+        "a photo of a pikachu",
+    )
+    validation_epochs: int = 5
+    validation_steps: int = 50  # cadence of src/main.py:541-542
+    prediction_type: Optional[str] = None
+
+    # TDM-specific (src/args.py:302-328)
+    cfg: float = 4.5
+    total_steps: int = 900
+    num_steps: int = 4
+    use_huber: bool = False
+    use_separate: bool = False
+    use_reg: bool = False
+    noise_offset: float = 0.0
+
+    def resolved_output_dir(self) -> str:
+        """Suffix encoding like the reference (`src/main.py:75-79`):
+        output_dir + _cfg{cfg}_steps{total_steps}[_Reg][_Huber]."""
+        d = f"{self.output_dir}_cfg{self.cfg}_steps{self.total_steps}"
+        if self.use_reg:
+            d += "_Reg"
+        if self.use_huber:
+            d += "_Huber"
+        return d
+
+    def effective_lr(self, n_devices: int) -> float:
+        """--scale_lr semantics (`src/main.py:200-203`)."""
+        if not self.scale_lr:
+            return self.learning_rate
+        return (
+            self.learning_rate
+            * self.gradient_accumulation_steps
+            * self.train_batch_size
+            * n_devices
+        )
+
+
+def parse_args(argv: Optional[list[str]] = None) -> TrainConfig:
+    """CLI → TrainConfig. Every dataclass field becomes `--{name}`; booleans
+    are store_true flags (matching the reference's argparse style);
+    LOCAL_RANK env merge mirrors `src/args.py:331-333`."""
+    parser = argparse.ArgumentParser(description="TDM distillation (TPU)")
+    for f in dataclasses.fields(TrainConfig):
+        name = f"--{f.name}"
+        default = (
+            f.default
+            if f.default is not dataclasses.MISSING
+            else f.default_factory()  # type: ignore[misc]
+        )
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(name, action="store_true", default=default)
+        elif f.name == "validation_prompts":
+            parser.add_argument(name, nargs="+", default=list(default))
+        else:
+            # typed from the default where present; None-default fields get
+            # their intended type from the table below (str otherwise)
+            none_types = {
+                "max_train_samples": int, "checkpoints_total_limit": int,
+                "seed": int, "snr_gamma": float, "max_train_steps": int,
+            }
+            typ = type(default) if default is not None else none_types.get(
+                f.name, str
+            )
+            parser.add_argument(name, type=typ, default=default)
+    ns = parser.parse_args(argv)
+    cfg = TrainConfig(
+        **{
+            f.name: (
+                tuple(getattr(ns, f.name))
+                if f.name == "validation_prompts"
+                else getattr(ns, f.name)
+            )
+            for f in dataclasses.fields(TrainConfig)
+        }
+    )
+    env_rank = int(os.environ.get("LOCAL_RANK", -1))
+    if env_rank != -1 and env_rank != cfg.local_rank:
+        cfg.local_rank = env_rank
+    # dataset sanity check (src/args.py:336-337)
+    if cfg.dataset_name is None and cfg.train_data_dir is None:
+        raise ValueError("Need either a dataset name or a training folder.")
+    return cfg

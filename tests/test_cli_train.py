@@ -1,0 +1,81 @@
+"""End-to-end CLI smoke: the full training orchestration (config parse →
+mesh → jitted TDM step → metrics → checkpoint → resume) on a tiny model,
+CPU. This is the §3.1 call stack exercised top to bottom."""
+
+import json
+import os
+
+import pytest
+
+
+def test_train_cli_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "run")
+    argv = [
+        "--output_dir", out,
+        "--train_data_dir", "",  # falls back to validation prompts
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "3",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-4",
+        "--cfg", "4.5",
+        "--total_steps", "900",
+        "--use_huber",
+        "--use_separate",
+        "--seed", "0",
+    ]
+    train_tdm.main(argv)
+
+    out_dir = f"{out}_cfg4.5_steps900_Huber"
+    assert os.path.isdir(out_dir)
+    # metrics written
+    metrics_file = os.path.join(out_dir, "logs", "metrics.jsonl")
+    with open(metrics_file) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all("loss_student" in r for r in rows)
+    assert all(abs(r["loss_student"]) < 1e6 for r in rows)
+    # checkpoints rotated in (steps 2 and 3)
+    ckpts = sorted(d for d in os.listdir(out_dir) if d.startswith("checkpoint"))
+    assert len(ckpts) >= 2
+
+    # resume: runs 2 more steps from step 3
+    train_tdm.main(argv + ["--max_train_steps", "5",
+                           "--resume_from_checkpoint", "latest"])
+    ckpts2 = sorted(d for d in os.listdir(out_dir) if d.startswith("checkpoint"))
+    assert any(d.endswith("_5") or d.endswith("-5") or "5" in d for d in ckpts2)
+
+
+def test_parse_args_reference_parity():
+    """The reference launch flags (README.md:163-178) parse unchanged."""
+    from tdm_tpu.utils.config import parse_args
+
+    cfg = parse_args([
+        "--pretrained_model_name_or_path", "PixArt-alpha/PixArt-XL-2-512x512",
+        "--dataset_name", "JourneyDB/JourneyDB",
+        "--max_train_steps", "10001",
+        "--learning_rate", "2e-05",
+        "--max_grad_norm", "1",
+        "--lr_scheduler", "cosine_with_restarts",
+        "--lr_warmup_steps", "50",
+        "--output_dir", "pixart",
+        "--checkpointing_steps", "500",
+        "--gradient_checkpointing",
+        "--use_8bit_adam",
+        "--cfg", "4.5",
+        "--total_steps", "900",
+        "--use_huber",
+        "--use_separate",
+    ])
+    assert cfg.cfg == 4.5 and cfg.total_steps == 900
+    assert cfg.use_huber and cfg.use_separate and cfg.use_8bit_adam
+    assert cfg.lr_scheduler == "cosine_with_restarts"
+    assert cfg.resolved_output_dir() == "pixart_cfg4.5_steps900_Huber"
+    assert cfg.effective_lr(1) == 2e-5
+    cfg.scale_lr = True
+    assert cfg.effective_lr(2) == 2e-5 * 2 * cfg.train_batch_size

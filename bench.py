@@ -2,20 +2,28 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current flagship: PixArt-α-512 DiT (the reference's training model) running
-the full jitted 4-NFE rollout (4 denoiser forwards + scheduler math fused
-into one scan). Baseline for vs_baseline is the BASELINE.json north-star
-target of 2 images/sec/chip (stated for SD3-1024 on v5p; reported here
-against the same bar until the SD3 MMDiT pipeline lands and takes over as
-the benched model).
+Flagship: PixArt-α-512 DiT (the reference's training model) running the full
+jitted 4-NFE rollout (4 denoiser forwards + scheduler math fused into one
+scan over a scan-over-layers model body). Baseline for vs_baseline is the
+BASELINE.json north-star of 2 images/sec/chip (stated for SD3-1024 on v5p;
+reported against the same bar until SD3 takes over as the benched model).
 
-Run on the real chip (default env — JAX_PLATFORMS=axon). ~30s first compile.
+Perf notes (measured on the axon-tunneled v5e):
+  * params are jit ARGUMENTS — closing over the 0.6B tree would embed 2.4GB
+    of HLO constants and push compile past 10 minutes over the tunnel;
+  * scan-over-layers cuts compile ~L×; remaining ~3min first-compile is
+    tunnel overhead, amortized by the persistent compilation cache.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 
 def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
@@ -25,7 +33,7 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
     from tdm_tpu.core import sampling, schedules as sched
     from tdm_tpu.models import pixart
 
-    cfg = pixart.PixArtConfig()  # full 0.6B, bf16
+    cfg = pixart.PixArtConfig()  # full 0.6B, bf16, scan-over-layers
     model = pixart.PixArtTransformer2D(cfg=cfg)
     seq = 120
     latent = jnp.zeros((batch, 4, 64, 64), jnp.bfloat16)
@@ -40,10 +48,15 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
 
     schedule = sched.ddpm_linear()
     grid = sched.fewstep_grid(1000, 4)
-    fn = pixart.make_denoise_fn(model, params)
 
     @jax.jit
-    def sample(noise):
+    def sample(params, noise, text, mask):
+        def fn(x, tt, cond):
+            te, m = cond
+            return pixart.epsilon(
+                model.apply({"params": params}, x, tt, te, m)
+            )
+
         return sampling.sample_fewstep(
             fn, schedule, noise, (text, mask), timestep_grid=grid
         )
@@ -51,10 +64,10 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
     noise = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 4, 64, 64), jnp.bfloat16
     )
-    sample(noise).block_until_ready()  # compile + warmup
+    sample(params, noise, text, mask).block_until_ready()  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = sample(noise)
+        out = sample(params, noise, text, mask)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     ips = batch * iters / dt

@@ -175,6 +175,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     )
     state = tdm.init_state(teacher, teacher, tx_s, tx_c, use_ema=cfg.use_ema)
     state = jax.device_put(state, pmesh.replicated(mesh))
+    teacher = jax.device_put(teacher, pmesh.replicated(mesh))
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     # ---- resume ----
@@ -233,7 +234,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         )
         uncond = (jnp.zeros_like(cond[0]), cond[1])
         rng, step_rng = jax.random.split(rng)
-        state, metrics = train_step(state, step_rng, cond, uncond)
+        # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
+        # tree is a jit parameter, not baked-in HLO constants
+        state, metrics = train_step(state, step_rng, cond, uncond, teacher)
         global_step += 1
 
         dt = timer.tick()

@@ -149,13 +149,33 @@ def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def pixart_params(sd: dict[str, np.ndarray]) -> dict:
+def stack_layers(tree: dict, prefix: str = "blocks") -> dict:
+    """Fold `{prefix}_0 … {prefix}_{L-1}` sibling subtrees into one stacked
+    `{prefix}` subtree with a leading layer axis — the param layout of
+    scan-over-layers models (models/pixart.py scan_layers)."""
+    import re as _re
+
+    names = sorted(
+        (k for k in tree if _re.fullmatch(rf"{prefix}_\d+", k)),
+        key=lambda s: int(s.rsplit("_", 1)[1]),
+    )
+    if not names:
+        return tree
+    subs = [tree.pop(k) for k in names]
+    import jax
+
+    tree[prefix] = jax.tree.map(lambda *xs: np.stack(xs), *subs)
+    return tree
+
+
+def pixart_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """diffusers PixArt transformer state dict → PixArtTransformer2D tree.
 
     Key layout per the PixArt-XL-2-512x512 checkpoint: pos_embed.proj (conv
     patchify), adaln_single.{emb.timestep_embedder, linear}, caption_
     projection.{linear_1,linear_2}, transformer_blocks.{i}.{scale_shift_table,
-    attn1, attn2, ff.net.{0.proj,2}}, final scale_shift_table + proj_out."""
+    attn1, attn2, ff.net.{0.proj,2}}, final scale_shift_table + proj_out.
+    With scan_layers the per-layer subtrees are stacked (leading L axis)."""
     tree: dict = {}
     _conv(sd, tree, "pos_embed.proj", "pos_embed/proj")
     for j in (1, 2):
@@ -181,7 +201,7 @@ def pixart_params(sd: dict[str, np.ndarray]) -> dict:
         _linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
     _set(tree, "final_scale_shift_table", sd["scale_shift_table"])
     _linear(sd, tree, "proj_out", "proj_out")
-    return tree
+    return stack_layers(tree) if scan_layers else tree
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +251,238 @@ def taesd_params(
                 block(enc, f"encoder.layers.{idx}", f"stage_{s}_block_{b}")
                 idx += 1
         _conv(sd, enc, f"encoder.layers.{idx}", "conv_out")
+    return tree
+
+
+def _linear_1x1(sd: dict, tree: dict, src: str, dst: str) -> None:
+    """torch 1×1 Conv2d [out,in,1,1] OR Linear [out,in] → Dense kernel
+    [in,out] (SD1.5 spatial transformers use 1×1 convs for proj_in/out)."""
+    w = sd[f"{src}.weight"]
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    _set(tree, f"{dst}/kernel", np.ascontiguousarray(w.T))
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _n_blocks(sd: dict, pattern: str) -> int:
+    return 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(pattern, k))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT (diffusers SD3Transformer2DModel → models/mmdit_sd3)
+# ---------------------------------------------------------------------------
+
+
+def sd3_params(sd: dict[str, np.ndarray]) -> dict:
+    """SD3-Medium transformer state dict → SD3Transformer2D tree. The
+    checkpoint's `pos_embed.pos_embed` buffer is the same center-cropped
+    sin-cos table the Flax model computes host-side, so it is skipped."""
+    tree: dict = {}
+    _conv(sd, tree, "pos_embed.proj", "pos_embed/proj")
+    for name in ("timestep_embedder", "text_embedder"):
+        for j in (1, 2):
+            _linear(sd, tree, f"time_text_embed.{name}.linear_{j}",
+                    f"{name}/linear_{j}")
+    _linear(sd, tree, "context_embedder", "context_embedder")
+    n = _n_blocks(sd, r"transformer_blocks\.(\d+)\.")
+    for i in range(n):
+        src = f"transformer_blocks.{i}"
+        dst = f"blocks_{i}"
+        _linear(sd, tree, f"{src}.norm1.linear", f"{dst}/norm1/linear")
+        _linear(sd, tree, f"{src}.norm1_context.linear",
+                f"{dst}/norm1_context/linear")
+        for p in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj"):
+            _linear(sd, tree, f"{src}.attn.{p}", f"{dst}/{p}")
+        _linear(sd, tree, f"{src}.attn.to_out.0", f"{dst}/to_out")
+        if f"{src}.attn.to_add_out.weight" in sd:
+            _linear(sd, tree, f"{src}.attn.to_add_out", f"{dst}/to_add_out")
+        for qk in ("norm_q", "norm_k"):  # SD3.5 rms qk-norm
+            if f"{src}.attn.{qk}.weight" in sd:
+                _set(tree, f"{dst}/{qk}/scale", sd[f"{src}.attn.{qk}.weight"])
+        _linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
+        _linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
+        if f"{src}.ff_context.net.0.proj.weight" in sd:
+            _linear(sd, tree, f"{src}.ff_context.net.0.proj",
+                    f"{dst}/ff_context/proj_in")
+            _linear(sd, tree, f"{src}.ff_context.net.2",
+                    f"{dst}/ff_context/proj_out")
+    _linear(sd, tree, "norm_out.linear", "norm_out/linear")
+    _linear(sd, tree, "proj_out", "proj_out")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# SD1.5 UNet (diffusers UNet2DConditionModel → models/unet_sd15)
+# ---------------------------------------------------------------------------
+
+
+def _unet_resnet(sd: dict, tree: dict, src: str, dst: str) -> None:
+    _norm(sd, tree, f"{src}.norm1", f"{dst}/norm1")
+    _conv(sd, tree, f"{src}.conv1", f"{dst}/conv1")
+    _linear(sd, tree, f"{src}.time_emb_proj", f"{dst}/time_emb_proj")
+    _norm(sd, tree, f"{src}.norm2", f"{dst}/norm2")
+    _conv(sd, tree, f"{src}.conv2", f"{dst}/conv2")
+    if f"{src}.conv_shortcut.weight" in sd:
+        _conv(sd, tree, f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+
+def _unet_spatial_transformer(sd: dict, tree: dict, src: str, dst: str) -> None:
+    _norm(sd, tree, f"{src}.norm", f"{dst}/norm")
+    _linear_1x1(sd, tree, f"{src}.proj_in", f"{dst}/proj_in")
+    _linear_1x1(sd, tree, f"{src}.proj_out", f"{dst}/proj_out")
+    b = f"{src}.transformer_blocks.0"
+    d = f"{dst}/transformer_blocks_0"
+    for j in (1, 2, 3):
+        _norm(sd, tree, f"{b}.norm{j}", f"{d}/norm{j}")
+    for attn in ("attn1", "attn2"):
+        for p in ("to_q", "to_k", "to_v"):
+            _linear(sd, tree, f"{b}.{attn}.{p}", f"{d}/{attn}/{p}")
+        _linear(sd, tree, f"{b}.{attn}.to_out.0", f"{d}/{attn}/to_out")
+    _linear(sd, tree, f"{b}.ff.net.0.proj", f"{d}/ff/proj_in")
+    _linear(sd, tree, f"{b}.ff.net.2", f"{d}/ff/proj_out")
+
+
+def unet_sd15_params(
+    sd: dict[str, np.ndarray], *, layers_per_block: int = 2, n_stages: int = 4
+) -> dict:
+    tree: dict = {}
+    _conv(sd, tree, "conv_in", "conv_in")
+    for j in (1, 2):
+        _linear(sd, tree, f"time_embedding.linear_{j}",
+                f"time_embedding/linear_{j}")
+    for i in range(n_stages):
+        has_attn = i < n_stages - 1
+        for j in range(layers_per_block):
+            _unet_resnet(sd, tree, f"down_blocks.{i}.resnets.{j}",
+                         f"down_{i}_res_{j}")
+            if has_attn:
+                _unet_spatial_transformer(
+                    sd, tree, f"down_blocks.{i}.attentions.{j}",
+                    f"down_{i}_attn_{j}")
+        if i < n_stages - 1:
+            _conv(sd, tree, f"down_blocks.{i}.downsamplers.0.conv",
+                  f"down_{i}_downsample")
+    _unet_resnet(sd, tree, "mid_block.resnets.0", "mid_res_0")
+    _unet_spatial_transformer(sd, tree, "mid_block.attentions.0", "mid_attn")
+    _unet_resnet(sd, tree, "mid_block.resnets.1", "mid_res_1")
+    for i in range(n_stages):
+        stage = n_stages - 1 - i
+        has_attn = stage < n_stages - 1
+        for j in range(layers_per_block + 1):
+            _unet_resnet(sd, tree, f"up_blocks.{i}.resnets.{j}",
+                         f"up_{i}_res_{j}")
+            if has_attn:
+                _unet_spatial_transformer(
+                    sd, tree, f"up_blocks.{i}.attentions.{j}",
+                    f"up_{i}_attn_{j}")
+        if stage > 0:
+            _conv(sd, tree, f"up_blocks.{i}.upsamplers.0.conv",
+                  f"up_{i}_upsample")
+    _norm(sd, tree, "conv_norm_out", "conv_norm_out")
+    _conv(sd, tree, "conv_out", "conv_out")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKL (diffusers → models/vae KL{Encoder,Decoder})
+# ---------------------------------------------------------------------------
+
+
+def _kl_resnet(sd: dict, tree: dict, src: str, dst: str) -> None:
+    _norm(sd, tree, f"{src}.norm1", f"{dst}/norm1")
+    _conv(sd, tree, f"{src}.conv1", f"{dst}/conv1")
+    _norm(sd, tree, f"{src}.norm2", f"{dst}/norm2")
+    _conv(sd, tree, f"{src}.conv2", f"{dst}/conv2")
+    if f"{src}.conv_shortcut.weight" in sd:
+        _conv(sd, tree, f"{src}.conv_shortcut", f"{dst}/shortcut")
+
+
+def _kl_mid_attn(sd: dict, tree: dict, src: str, dst: str) -> None:
+    _norm(sd, tree, f"{src}.group_norm", f"{dst}/norm")
+    for p in ("to_q", "to_k", "to_v"):
+        _linear(sd, tree, f"{src}.{p}", f"{dst}/{p}")
+    _linear(sd, tree, f"{src}.to_out.0", f"{dst}/to_out")
+
+
+def klvae_params(
+    sd: dict[str, np.ndarray], *, layers_per_block: int = 2, n_stages: int = 4
+) -> dict:
+    """AutoencoderKL → {'encoder': ..., 'decoder': ...} trees (+ the 1×1
+    quant/post_quant convs, stored under each side's tree)."""
+    tree: dict = {"encoder": {}, "decoder": {}}
+    enc, dec = tree["encoder"], tree["decoder"]
+    if any(k.startswith("decoder.") for k in sd):
+        _conv(sd, dec, "decoder.conv_in", "conv_in")
+        _kl_resnet(sd, dec, "decoder.mid_block.resnets.0", "mid_block_1")
+        _kl_mid_attn(sd, dec, "decoder.mid_block.attentions.0", "mid_attn")
+        _kl_resnet(sd, dec, "decoder.mid_block.resnets.1", "mid_block_2")
+        for i in range(n_stages):
+            for j in range(layers_per_block + 1):
+                _kl_resnet(sd, dec, f"decoder.up_blocks.{i}.resnets.{j}",
+                           f"up_{i}_res_{j}")
+            if i < n_stages - 1:
+                _conv(sd, dec, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                      f"up_{i}_conv")
+        _norm(sd, dec, "decoder.conv_norm_out", "norm_out")
+        _conv(sd, dec, "decoder.conv_out", "conv_out")
+        if "post_quant_conv.weight" in sd:
+            _conv(sd, dec, "post_quant_conv", "post_quant_conv")
+    if any(k.startswith("encoder.") for k in sd):
+        _conv(sd, enc, "encoder.conv_in", "conv_in")
+        for i in range(n_stages):
+            for j in range(layers_per_block):
+                _kl_resnet(sd, enc, f"encoder.down_blocks.{i}.resnets.{j}",
+                           f"down_{i}_res_{j}")
+            if i < n_stages - 1:
+                _conv(sd, enc, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                      f"down_{i}_conv")
+        _kl_resnet(sd, enc, "encoder.mid_block.resnets.0", "mid_block_1")
+        _kl_mid_attn(sd, enc, "encoder.mid_block.attentions.0", "mid_attn")
+        _kl_resnet(sd, enc, "encoder.mid_block.resnets.1", "mid_block_2")
+        _norm(sd, enc, "encoder.conv_norm_out", "norm_out")
+        _conv(sd, enc, "encoder.conv_out", "conv_out")
+        if "quant_conv.weight" in sd:
+            _conv(sd, enc, "quant_conv", "quant_conv")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX 3D-DiT (diffusers CogVideoXTransformer3DModel → models/cogvideox)
+# ---------------------------------------------------------------------------
+
+
+def cogvideox_params(sd: dict[str, np.ndarray]) -> dict:
+    """CogVideoX-2b transformer state dict → CogVideoXTransformer3D tree.
+    The 3D sin-cos position buffer is non-persistent (recomputed in Flax);
+    RoPE (5B) has no weights."""
+    tree: dict = {}
+    _conv(sd, tree, "patch_embed.proj", "patch_proj")
+    _linear(sd, tree, "patch_embed.text_proj", "text_proj")
+    for j in (1, 2):
+        _linear(sd, tree, f"time_embedding.linear_{j}",
+                f"time_embedding/linear_{j}")
+    n = _n_blocks(sd, r"transformer_blocks\.(\d+)\.")
+    for i in range(n):
+        src = f"transformer_blocks.{i}"
+        dst = f"blocks_{i}"
+        for norm in ("norm1", "norm2"):
+            _linear(sd, tree, f"{src}.{norm}.linear", f"{dst}/{norm}/linear")
+            _norm(sd, tree, f"{src}.{norm}.norm", f"{dst}/{norm}/norm")
+        for p in ("to_q", "to_k", "to_v"):
+            _linear(sd, tree, f"{src}.attn1.{p}", f"{dst}/{p}")
+        for qk in ("norm_q", "norm_k"):
+            _norm(sd, tree, f"{src}.attn1.{qk}", f"{dst}/{qk}")
+        _linear(sd, tree, f"{src}.attn1.to_out.0", f"{dst}/to_out")
+        _linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
+        _linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
+    _norm(sd, tree, "norm_final", "norm_final")
+    _linear(sd, tree, "norm_out.linear", "norm_out_linear")
+    _norm(sd, tree, "norm_out.norm", "norm_out_norm")
+    _linear(sd, tree, "proj_out", "proj_out")
     return tree
 
 

@@ -87,7 +87,7 @@ def default_target(path: tuple, kernel: jnp.ndarray) -> bool:
     and FF projections — the to_q/to_k/to_v/to_out(+add_*) set the released
     TDM LoRAs adapt (diffusers `load_lora_weights` targets attention
     processors, `README.md:49`)."""
-    if kernel.ndim != 2:
+    if kernel.ndim not in (2, 3):  # 3 = scan-stacked [L, in, out]
         return False
     name = path[-1] if path else ""
     return any(
@@ -121,12 +121,14 @@ def init_lora(
         keys[path[:-1]] = kernel.shape
     rngs = jax.random.split(rng, max(len(keys), 1))
     for i, (mpath, shape) in enumerate(sorted(keys.items())):
-        d_in, d_out = shape
+        # scan-stacked kernels [L, in, out] get per-layer factor stacks
+        layers = shape[:-2]
+        d_in, d_out = shape[-2:]
         bound = 1.0 / jnp.sqrt(jnp.asarray(d_in, jnp.float32))
         a = jax.random.uniform(
-            rngs[i], (d_in, rank), dtype, minval=-bound, maxval=bound
+            rngs[i], (*layers, d_in, rank), dtype, minval=-bound, maxval=bound
         )
-        b = jnp.zeros((rank, d_out), dtype)
+        b = jnp.zeros((*layers, rank, d_out), dtype)
         entries[mpath] = {"a": a, "b": b}
         alphas.append((path_str(mpath), float(alpha if alpha is not None else rank)))
     return LoRA(params=_unflatten(entries), alpha=tuple(alphas))
@@ -160,10 +162,17 @@ def merge(params: Any, lora: LoRA, scale: float = 1.0) -> Any:
         r = a.shape[-1]
         eff = scale * alpha_map.get(path_str(mpath), float(r)) / r
         w = flat_params[kpath]
-        delta = jnp.dot(
-            a.astype(jnp.float32), b.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+        if a.ndim == 2:
+            delta = jnp.dot(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # stacked [L, in, r] @ [L, r, out] → [L, in, out]
+            delta = jnp.einsum(
+                "...ir,...ro->...io",
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
         flat_params[kpath] = (w.astype(jnp.float32) + eff * delta).astype(w.dtype)
     return _unflatten(flat_params)
 

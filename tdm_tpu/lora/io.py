@@ -53,14 +53,23 @@ def save_kohya(
     alpha_map = lora.alpha_map
     for mpath, entry in sorted(_flatten(lora.params).items()):
         p = path_str(mpath)
-        key = to_file_key(p, prefix)
-        a = np.asarray(entry["a"], dtype=dtype)  # [in, r]
-        b = np.asarray(entry["b"], dtype=dtype)  # [r, out]
-        tensors[f"{key}.lora_down.weight"] = np.ascontiguousarray(a.T)  # [r, in]
-        tensors[f"{key}.lora_up.weight"] = np.ascontiguousarray(b.T)  # [out, r]
-        tensors[f"{key}.alpha"] = np.asarray(
-            alpha_map.get(p, float(a.shape[-1])), dtype=dtype
-        )
+        a = np.asarray(entry["a"], dtype=dtype)  # [in, r] or [L, in, r]
+        b = np.asarray(entry["b"], dtype=dtype)  # [r, out] or [L, r, out]
+        alpha = np.asarray(alpha_map.get(p, float(a.shape[-1])), dtype=dtype)
+        if a.ndim == 3:
+            # scan-stacked: unstack into per-layer keys so the file stays
+            # interchangeable with torch-ecosystem (kohya/diffusers) tooling
+            for i in range(a.shape[0]):
+                per = (f"{mpath[0]}_{i}",) + mpath[1:]
+                key = to_file_key(path_str(per), prefix)
+                tensors[f"{key}.lora_down.weight"] = np.ascontiguousarray(a[i].T)
+                tensors[f"{key}.lora_up.weight"] = np.ascontiguousarray(b[i].T)
+                tensors[f"{key}.alpha"] = alpha
+        else:
+            key = to_file_key(p, prefix)
+            tensors[f"{key}.lora_down.weight"] = np.ascontiguousarray(a.T)
+            tensors[f"{key}.lora_up.weight"] = np.ascontiguousarray(b.T)
+            tensors[f"{key}.alpha"] = alpha
     save_file(tensors, path)
 
 
@@ -97,19 +106,27 @@ def default_from_file_key(module_key: str) -> str:
     return key
 
 
-def _resolution_map(params) -> dict[str, str]:
-    """{underscore-flattened module path: '/'-joined path} for every kernel's
-    parent module in a param tree — resolves kohya's lossy underscore
-    flattening (module names like 'blocks_0' themselves contain underscores,
-    so splitting is ambiguous without the model; diffusers'
-    load_lora_weights needs the pipeline's model for the same reason)."""
+def _resolution_map(params) -> dict[str, tuple]:
+    """{underscore-flattened module path: (path, layer|None)} for every
+    kernel's parent module — resolves kohya's lossy underscore flattening
+    (module names like 'blocks_0' themselves contain underscores, so
+    splitting is ambiguous without the model; diffusers' load_lora_weights
+    needs the pipeline's model for the same reason). Scan-stacked kernels
+    [L, in, out] register one per-layer entry each ('blocks_3_attn1_to_q' →
+    ('blocks/attn1/to_q', 3)) so per-layer files load into stacked trees."""
     from tdm_tpu.lora.adapter import _flatten_params
 
-    out = {}
-    for kpath in _flatten_params(params):
-        if kpath[-1] == "kernel":
-            p = "/".join(kpath[:-1])
-            out[p.replace("/", "_")] = p
+    out: dict[str, tuple] = {}
+    for kpath, leaf in _flatten_params(params).items():
+        if kpath[-1] != "kernel":
+            continue
+        p = "/".join(kpath[:-1])
+        if getattr(leaf, "ndim", 2) == 3:
+            for i in range(leaf.shape[0]):
+                flat = "_".join((f"{kpath[0]}_{i}",) + kpath[1:-1])
+                out[flat] = (p, i)
+        else:
+            out[p.replace("/", "_")] = (p, None)
     return out
 
 
@@ -127,35 +144,53 @@ def load_lora(
     kohya module keys are resolved against its actual module paths."""
     tensors = load_file(path)
     resolve = _resolution_map(params) if params is not None else {}
-    entries: dict[tuple, dict] = {}
+
+    def locate(mkey: str) -> tuple[str, int | None]:
+        return resolve.get(mkey, (mkey, None))
+
+    entries: dict[tuple, dict] = {}  # path → {'a': arr | {layer: arr}, ...}
+    layered: dict[tuple, bool] = {}
     alphas: dict[str, float] = {}
     for key, value in tensors.items():
         split = _detect_and_split(key)
         if split is None:
             if key.endswith(".alpha"):
-                mkey = from_file_key(key[: -len(".alpha")])
-                alphas[resolve.get(mkey, mkey)] = float(np.asarray(value))
+                pstr, _ = locate(from_file_key(key[: -len(".alpha")]))
+                alphas[pstr] = float(np.asarray(value))
             continue
         module_key, which = split
-        mkey = from_file_key(module_key)
-        p = tuple(resolve.get(mkey, mkey).split("/"))
-        entry = entries.setdefault(p, {})
-        arr = np.asarray(value, dtype=dtype)
+        pstr, layer = locate(from_file_key(module_key))
+        p = tuple(pstr.split("/"))
+        entry = entries.setdefault(p, {"a": {}, "b": {}})
         # torch layout: down/A [r, in], up/B [out, r] → transpose to Flax
-        entry[which] = arr.T
+        arr = np.asarray(value, dtype=dtype).T
+        if layer is None:
+            entry[which] = arr
+            layered[p] = False
+        else:
+            entry[which][layer] = arr
+            layered[p] = True
+    final: dict[tuple, dict] = {}
     for p, entry in entries.items():
-        if "a" not in entry or "b" not in entry:
-            raise ValueError(f"LoRA file {path}: incomplete factor pair at {p}")
+        for which in ("a", "b"):
+            v = entry[which]
+            if isinstance(v, dict):
+                if not v:
+                    raise ValueError(
+                        f"LoRA file {path}: missing factor {which} at {p}"
+                    )
+                entry[which] = np.stack([v[i] for i in sorted(v)])
+        final[p] = entry
     alpha = tuple(
-        (path_str(p), alphas.get(path_str(p), float(entries[p]["a"].shape[-1])))
-        for p in sorted(entries)
+        (path_str(p), alphas.get(path_str(p), float(final[p]["a"].shape[-1])))
+        for p in sorted(final)
     )
     import jax.numpy as jnp
 
-    params = _unflatten(
+    tree = _unflatten(
         {
             p: {"a": jnp.asarray(e["a"]), "b": jnp.asarray(e["b"])}
-            for p, e in entries.items()
+            for p, e in final.items()
         }
     )
-    return LoRA(params=params, alpha=alpha)
+    return LoRA(params=tree, alpha=alpha)

@@ -72,6 +72,50 @@ class CogVideoXConfig:
         )
 
 
+def sincos_3d(
+    dim: int,
+    frames: int,
+    grid_h: int,
+    grid_w: int,
+    *,
+    spatial_scale: float = 1.875,
+    temporal_scale: float = 1.0,
+) -> np.ndarray:
+    """Fixed 3D sin-cos positional table [F·H·W, dim] — CogVideoX-2B's
+    (non-persistent-buffer) position embedding: dim split (¼ temporal 1D,
+    ¾ spatial 2D), grids downscaled by the interpolation scales. Host-side
+    numpy; bakes into the compiled program."""
+    dim_t = dim // 4
+    dim_s = dim * 3 // 4
+
+    def embed_1d(pos, d):
+        omega = 1.0 / 10000 ** (np.arange(d // 2, dtype=np.float64) / (d / 2.0))
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    hh = np.arange(grid_h, dtype=np.float64) / spatial_scale
+    ww = np.arange(grid_w, dtype=np.float64) / spatial_scale
+    gw, gh = np.meshgrid(ww, hh)
+    spatial = np.concatenate(
+        [embed_1d(gh, dim_s // 2), embed_1d(gw, dim_s // 2)], axis=1
+    )  # [H·W, dim_s]
+    tt = np.arange(frames, dtype=np.float64) / temporal_scale
+    temporal = embed_1d(tt, dim_t)  # [F, dim_t]
+
+    out = np.concatenate(
+        [
+            np.broadcast_to(
+                temporal[:, None, :], (frames, grid_h * grid_w, dim_t)
+            ),
+            np.broadcast_to(
+                spatial[None, :, :], (frames, grid_h * grid_w, dim_s)
+            ),
+        ],
+        axis=-1,
+    )
+    return out.reshape(frames * grid_h * grid_w, dim).astype(np.float32)
+
+
 def rope_3d(
     dim: int, frames: int, grid_h: int, grid_w: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -101,8 +145,10 @@ def rope_3d(
 
 
 class CogLayerNormZero(nn.Module):
-    """silu(temb) → 6 vectors: (shift, scale, gate) for video and text
-    streams; applies the affine-free LN + modulation, returns gates."""
+    """silu(temb) → 6 vectors: (shift, scale, gate) for video and (shift,
+    scale, gate) for text; one shared AFFINE LayerNorm is applied to both
+    streams before modulation (diffusers CogVideoXLayerNormZero — the affine
+    LN is `norm1.norm.{weight,bias}` in the checkpoint)."""
 
     dim: int
     dtype: jnp.dtype
@@ -115,8 +161,9 @@ class CogLayerNormZero(nn.Module):
         shift, scale, gate, c_shift, c_scale, c_gate = [
             mod[:, i][:, None] for i in range(6)
         ]
-        x = L.layer_norm(x, eps=1e-5) * (1 + scale) + shift
-        ctx = L.layer_norm(ctx, eps=1e-5) * (1 + c_scale) + c_shift
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
+        x = norm(x).astype(self.dtype) * (1 + scale) + shift
+        ctx = norm(ctx).astype(self.dtype) * (1 + c_scale) + c_shift
         return x, ctx, gate, c_gate
 
 
@@ -203,15 +250,12 @@ class CogVideoXTransformer3D(nn.Module):
             cos, sin = rope_3d(c.head_dim, f, gh, gw)
             rotary = (jnp.asarray(cos), jnp.asarray(sin))
         else:
-            # 2B: learned joint positional embedding over [text; video]
-            pos = self.param(
-                "pos_embedding",
-                nn.initializers.normal(0.02),
-                (c.max_text_len + c.sample_frames * (c.sample_h // p) * (c.sample_w // p), inner),
-                jnp.float32,
-            )
-            ctx = ctx + pos[None, :s_txt].astype(c.dtype)
-            x = x + pos[None, c.max_text_len : c.max_text_len + s_vid].astype(c.dtype)
+            # 2B: FIXED 3D sin-cos positions on video tokens only (text
+            # token positions are zero — diffusers CogVideoXPatchEmbed
+            # builds the joint buffer with a zero text block; the buffer is
+            # non-persistent, so checkpoints carry no pos-embed weights)
+            pos = sincos_3d(inner, f, gh, gw)
+            x = x + jnp.asarray(pos, c.dtype)[None]
 
         t_base = L.sinusoidal_timestep_embedding(t, inner)
         temb = L.TimestepEmbedding(
@@ -225,12 +269,15 @@ class CogVideoXTransformer3D(nn.Module):
             jnp.concatenate([ctx, x], axis=1)
         ).astype(c.dtype)[:, s_txt:]
 
-        # final adaLN (shift, scale) + projection to p²·C
-        mod = nn.Dense(2 * inner, dtype=c.dtype, name="norm_out")(
+        # final AdaLayerNorm: affine LN + (shift, scale) from temb
+        # (diffusers norm_out.{linear,norm})
+        mod = nn.Dense(2 * inner, dtype=c.dtype, name="norm_out_linear")(
             nn.silu(temb)
         ).reshape(b, 2, inner)
         shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
-        x = L.layer_norm(x, eps=1e-5) * (1 + scale) + shift
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_out_norm")(
+            x
+        ).astype(c.dtype) * (1 + scale) + shift
         x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, name="proj_out")(x)
 
         # unpatchify back to [B,16,F,H,W]

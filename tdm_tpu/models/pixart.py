@@ -46,6 +46,14 @@ class PixArtConfig:
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    # scan-over-layers: ONE compiled block body + stacked [L, ...] params
+    # instead of 28 unrolled copies — cuts XLA compile time ~L× and is the
+    # standard TPU big-model layout; param tree gains a leading layer axis
+    # under 'blocks' (converters stack, LoRA handles 3-D kernels).
+    scan_layers: bool = True
+    # remat each block (the reference's --gradient_checkpointing,
+    # src/main.py:191-193): trade recompute for activation HBM.
+    remat: bool = False
 
     @property
     def hidden(self) -> int:
@@ -67,6 +75,7 @@ class PixArtConfig:
 
 class PixArtBlock(nn.Module):
     cfg: PixArtConfig
+    scan: bool = False  # under nn.scan: return (carry, None)
 
     @nn.compact
     def __call__(self, x, text, text_mask, t6):
@@ -112,7 +121,8 @@ class PixArtBlock(nn.Module):
             dtype=c.dtype,
             name="ff",
         )(h)
-        return x + gate_mlp * h
+        out = x + gate_mlp * h
+        return (out, None) if self.scan else out
 
 
 class PixArtTransformer2D(nn.Module):
@@ -152,8 +162,20 @@ class PixArtTransformer2D(nn.Module):
         y = nn.gelu(y, approximate=True)
         y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_2")(y)
 
-        for i in range(c.num_layers):
-            x = PixArtBlock(cfg=c, name=f"blocks_{i}")(x, y, text_mask, t6)
+        if c.scan_layers:
+            block_cls = nn.remat(PixArtBlock) if c.remat else PixArtBlock
+            stack = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = stack(cfg=c, scan=True, name="blocks")(x, y, text_mask, t6)
+        else:
+            block_cls = nn.remat(PixArtBlock) if c.remat else PixArtBlock
+            for i in range(c.num_layers):
+                x = block_cls(cfg=c, name=f"blocks_{i}")(x, y, text_mask, t6)
 
         # final adaLN-modulated norm + linear to p²·out_channels
         final_table = self.param(

@@ -199,6 +199,11 @@ class KLDecoder(nn.Module):
         c = self.cfg
         widths = list(c.block_widths)
         x = jnp.transpose(z, (0, 2, 3, 1)).astype(c.dtype)
+        # diffusers AutoencoderKL applies a 1×1 post_quant_conv before the
+        # decoder proper (identity-shaped; ported from checkpoints)
+        x = nn.Conv(
+            c.latent_channels, (1, 1), dtype=c.dtype, name="post_quant_conv"
+        )(x)
         x = nn.Conv(widths[-1], (3, 3), padding=1, dtype=c.dtype, name="conv_in")(x)
         x = _ResBlock(widths[-1], c.norm_groups, c.dtype, name="mid_block_1")(x)
         x = _MidAttention(c.norm_groups, c.dtype, name="mid_attn")(x)
@@ -248,6 +253,10 @@ class KLEncoder(nn.Module):
         x = nn.Conv(
             2 * c.latent_channels, (3, 3), padding=1, dtype=c.dtype, name="conv_out"
         )(nn.silu(x))
+        # diffusers' 1×1 quant_conv over the (mean, logvar) stack
+        x = nn.Conv(
+            2 * c.latent_channels, (1, 1), dtype=c.dtype, name="quant_conv"
+        )(x)
         x = jnp.transpose(x, (0, 3, 1, 2))
         mean, logvar = jnp.split(x, 2, axis=1)
         return mean, logvar

@@ -69,7 +69,8 @@ class DiffusionPipelineBase:
                 params = lora_lib.merge(params, self._loras[name], scale)
         self.params = params
         self._active = tuple(zip(names, scales))
-        self._jit_cache.clear()  # merged params are closed over in jits
+        # no jit-cache clear needed: params are jit ARGUMENTS, so the same
+        # compiled sampler serves any adapter mix at zero recompile cost
 
     # ---- jit cache ----
 

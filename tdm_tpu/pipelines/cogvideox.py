@@ -105,9 +105,9 @@ class CogVideoXPipeline(DiffusionPipelineBase):
                 )
             )
         key = (tuple(timesteps), f_lat, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0), self._active)
-        fn = self._cached(key, lambda: self._build_sampler(*key[:6]))
-        latents = fn(noise, prompt_embeds, uncond)
+               float(guidance_scale or 1.0))
+        fn = self._cached(key, lambda: self._build_sampler(*key))
+        latents = fn(self.params, noise, prompt_embeds, uncond)
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
@@ -124,12 +124,13 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         )
 
     def _build_sampler(self, timesteps, f_lat, lat_h, lat_w, use_cfg, cfg):
-        denoise = cog.make_denoise_fn(self.transformer, self.params)
+        model = self.transformer
         grid = sched.grid_from_list(list(timesteps))
         schedule = self.schedule
 
         @jax.jit
-        def run(noise, cond, uncond):
+        def run(params, noise, cond, uncond):
+            denoise = cog.make_denoise_fn(model, params)
             return sampling.sample_fewstep(
                 denoise, schedule, noise, cond,
                 timestep_grid=grid,

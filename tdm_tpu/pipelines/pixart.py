@@ -107,9 +107,9 @@ class PixArtPipeline(DiffusionPipelineBase):
         noise = jax.random.normal(rng, (b, 4, lat_h, lat_w), jnp.bfloat16)
 
         key = (solver, num_inference_steps, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0), total_steps, self._active)
-        fn = self._cached(key, lambda: self._build_sampler(*key[:7]))
-        latents = fn(noise, cond, uncond)
+               float(guidance_scale or 1.0), total_steps)
+        fn = self._cached(key, lambda: self._build_sampler(*key))
+        latents = fn(self.params, noise, cond, uncond)
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
@@ -121,13 +121,16 @@ class PixArtPipeline(DiffusionPipelineBase):
         )
 
     def _build_sampler(self, solver, steps, lat_h, lat_w, use_cfg, cfg, total_steps):
-        denoise = pixart.make_denoise_fn(self.transformer, self.params)
+        # params flow in as a jit ARGUMENT: closed-over full-size weights
+        # would embed gigabytes of HLO constants (see bench.py perf notes)
+        model = self.transformer
         schedule = self.schedule
         if solver == "fewstep":
             grid = sched.fewstep_grid(total_steps, steps)
 
             @jax.jit
-            def run(noise, cond, uncond):
+            def run(params, noise, cond, uncond):
+                denoise = pixart.make_denoise_fn(model, params)
                 return sampling.sample_fewstep(
                     denoise, schedule, noise, cond,
                     timestep_grid=grid,
@@ -138,7 +141,8 @@ class PixArtPipeline(DiffusionPipelineBase):
             grid = solvers.ddpm_grid(schedule, steps)
 
             @jax.jit
-            def run(noise, cond, uncond):
+            def run(params, noise, cond, uncond):
+                denoise = pixart.make_denoise_fn(model, params)
                 return solvers.sample_dpm_solver(
                     denoise, grid, noise, cond,
                     uncond=uncond, cfg=cfg if use_cfg else None,

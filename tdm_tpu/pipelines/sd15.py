@@ -96,9 +96,9 @@ class SD15Pipeline(DiffusionPipelineBase):
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0), self._active)
-        fn = self._cached(key, lambda: self._build_sampler(*key[:5]))
-        latents = fn(noise, prompt_embeds, uncond)
+               float(guidance_scale or 1.0))
+        fn = self._cached(key, lambda: self._build_sampler(*key))
+        latents = fn(self.params, noise, prompt_embeds, uncond)
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
@@ -111,11 +111,12 @@ class SD15Pipeline(DiffusionPipelineBase):
         )
 
     def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg):
-        denoise = unet_sd15.make_denoise_fn(self.unet, self.params)
+        model = self.unet
         grid = solvers.ddpm_grid(self.schedule, steps)
 
         @jax.jit
-        def run(noise, cond, uncond):
+        def run(params, noise, cond, uncond):
+            denoise = unet_sd15.make_denoise_fn(model, params)
             return solvers.sample_dpm_solver(
                 denoise, grid, noise, cond,
                 uncond=uncond, cfg=cfg if use_cfg else None,

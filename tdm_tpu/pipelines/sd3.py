@@ -126,9 +126,9 @@ class SD3Pipeline(DiffusionPipelineBase):
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0), float(shift), self._active)
-        fn = self._cached(key, lambda: self._build_sampler(*key[:6]))
-        latents = fn(noise, prompt_embeds, uncond)
+               float(guidance_scale or 1.0), float(shift))
+        fn = self._cached(key, lambda: self._build_sampler(*key))
+        latents = fn(self.params, noise, prompt_embeds, uncond)
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
@@ -141,11 +141,12 @@ class SD3Pipeline(DiffusionPipelineBase):
         )
 
     def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg, shift):
-        denoise = mmdit_sd3.make_denoise_fn(self.transformer, self.params)
+        model = self.transformer
         grid = solvers.flow_grid(steps, flow_shift=shift)
 
         @jax.jit
-        def run(noise, cond, uncond):
+        def run(params, noise, cond, uncond):
+            denoise = mmdit_sd3.make_denoise_fn(model, params)
             return solvers.sample_dpm_solver(
                 denoise, grid, noise, cond,
                 uncond=uncond, cfg=cfg if use_cfg else None,

@@ -131,17 +131,24 @@ def build_train_step(
     *,
     sample_shape: tuple[int, ...],
 ):
-    """Returns `train_step(state, rng, cond, uncond) -> (state, metrics)`.
+    """Returns `train_step(state, rng, cond, uncond, teacher=None)
+    -> (state, metrics)`.
 
-    cond/uncond are the conditioning pytrees (text embeddings + mask);
-    teacher params are closed over (frozen, `src/main.py:370-371`).
-    sample_shape: latent shape per sample, e.g. (4, 64, 64)
-    (`src/main.py:443`).
+    cond/uncond are the conditioning pytrees (text embeddings + mask).
+    The frozen teacher (`src/main.py:370-371`) defaults to the tree passed
+    here, but callers jitting the step MUST pass it as the `teacher`
+    ARGUMENT — a closed-over 0.6B tree embeds ~2.4GB of HLO constants and
+    stalls compilation. sample_shape: latent shape per sample, e.g.
+    (4, 64, 64) (`src/main.py:443`).
     """
     grid = sched.fewstep_grid(config.total_steps, config.num_steps)
     levels = segment_levels(config)
 
-    def train_step(state: TrainState, rng: jax.Array, cond: Any, uncond: Any):
+    def train_step(
+        state: TrainState, rng: jax.Array, cond: Any, uncond: Any,
+        teacher: Any = None,
+    ):
+        teacher = teacher_params if teacher is None else teacher
         batch = jax.tree.leaves(cond)[0].shape[0]
         r_noise, r_seg, r_fresh = jax.random.split(rng, 3)
 
@@ -200,8 +207,8 @@ def build_train_step(
         )
 
         # ---- 7. teacher CFG target in x0 space (fixes defects 3+4) ----
-        eps_t_c = denoise_fn(teacher_params, x_in, t_fake, cond)
-        eps_t_u = denoise_fn(teacher_params, x_in, t_fake, uncond)
+        eps_t_c = denoise_fn(teacher, x_in, t_fake, cond)
+        eps_t_u = denoise_fn(teacher, x_in, t_fake, uncond)
         x0_t_c = sched.predicted_origin(schedule, eps_t_c, t_fake, x_in)
         x0_t_u = sched.predicted_origin(schedule, eps_t_u, t_fake, x_in)
         target = jax.lax.stop_gradient(

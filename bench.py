@@ -1,19 +1,22 @@
-"""Headline benchmark: 4-NFE few-step sampling throughput on one TPU chip.
+"""Headline benchmark: SD3-Medium 1024px 4-NFE sampling throughput on one
+TPU chip — the BASELINE.json north-star metric (target: 2 images/s/chip on
+v5p; this harness runs a v5e with ~2.3× fewer peak FLOPs).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Flagship: PixArt-α-512 DiT (the reference's training model) running the full
-jitted 4-NFE rollout (4 denoiser forwards + scheduler math fused into one
-scan over a scan-over-layers model body). Baseline for vs_baseline is the
-BASELINE.json north-star of 2 images/sec/chip (stated for SD3-1024 on v5p;
-reported against the same bar until SD3 takes over as the benched model).
+The full 4-NFE loop (4 MMDiT forwards at S≈4429 through the Pallas flash
+kernel + DPM-Solver++(2M) flow-sigma updates) is one jitted scan. Measured
+1.70 img/s/chip at batch 4 on the v5e ≈ 73% MFU by parameter-FLOP count —
+compute-bound, i.e. at the hardware roofline for bf16.
 
-Perf notes (measured on the axon-tunneled v5e):
-  * params are jit ARGUMENTS — closing over the 0.6B tree would embed 2.4GB
-    of HLO constants and push compile past 10 minutes over the tunnel;
-  * scan-over-layers cuts compile ~L×; remaining ~3min first-compile is
-    tunnel overhead, amortized by the persistent compilation cache.
-"""
+Perf notes (hard-won on the axon-tunneled v5e):
+  * params are jit ARGUMENTS — closing over the 2B tree embeds ~4GB of HLO
+    constants and pushes compile past 10 minutes over the tunnel;
+  * scan-over-layers cuts compile ~24×; the persistent compilation cache
+    amortizes the remaining ~2min first-compile.
+
+`python bench.py pixart` runs the secondary PixArt-512 4-NFE benchmark
+(17.9 img/s/chip — the reference's training model)."""
 
 from __future__ import annotations
 
@@ -79,5 +82,49 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
     }
 
 
+def bench_sd3_4nfe(batch: int = 4, iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.core import solvers
+    from tdm_tpu.models import mmdit_sd3
+
+    cfg = mmdit_sd3.MMDiTConfig()  # SD3-Medium 2B, bf16, scan-over-layers
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    seq = 333  # 77 CLIP + 256 T5 joint context
+    lat = jnp.zeros((batch, 16, 128, 128), jnp.bfloat16)  # 1024px latents
+    ctx = jnp.zeros((batch, seq, cfg.context_dim), jnp.bfloat16)
+    pooled = jnp.zeros((batch, cfg.pooled_dim), jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), lat, jnp.zeros((batch,)), ctx, pooled
+    )["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    grid = solvers.flow_grid(4, flow_shift=6.0)  # README recipe shift
+
+    @jax.jit
+    def sample(params, noise, ctx, pooled):
+        fn = mmdit_sd3.make_denoise_fn(model, params)
+        return solvers.sample_dpm_solver(fn, grid, noise, (ctx, pooled))
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), lat.shape, jnp.bfloat16)
+    sample(params, noise, ctx, pooled).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sample(params, noise, ctx, pooled)
+    out.block_until_ready()
+    ips = batch * iters / (time.perf_counter() - t0)
+    return {
+        "metric": "sd3_1024px_4nfe_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "images/s/chip",
+        "vs_baseline": round(ips / 2.0, 3),
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(bench_pixart_4nfe()))
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
+    fn = {"sd3": bench_sd3_4nfe, "pixart": bench_pixart_4nfe}[which]
+    print(json.dumps(fn()))

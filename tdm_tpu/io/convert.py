@@ -149,16 +149,19 @@ def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def stack_layers(tree: dict, prefix: str = "blocks") -> dict:
+def stack_layers(tree: dict, prefix: str = "blocks", count: int | None = None) -> dict:
     """Fold `{prefix}_0 … {prefix}_{L-1}` sibling subtrees into one stacked
     `{prefix}` subtree with a leading layer axis — the param layout of
-    scan-over-layers models (models/pixart.py scan_layers)."""
+    scan-over-layers models (models/pixart.py scan_layers). `count` stacks
+    only the first N (SD3 keeps its heterogeneous last block unrolled)."""
     import re as _re
 
     names = sorted(
         (k for k in tree if _re.fullmatch(rf"{prefix}_\d+", k)),
         key=lambda s: int(s.rsplit("_", 1)[1]),
     )
+    if count is not None:
+        names = names[:count]
     if not names:
         return tree
     subs = [tree.pop(k) for k in names]
@@ -276,10 +279,11 @@ def _n_blocks(sd: dict, pattern: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def sd3_params(sd: dict[str, np.ndarray]) -> dict:
+def sd3_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """SD3-Medium transformer state dict → SD3Transformer2D tree. The
     checkpoint's `pos_embed.pos_embed` buffer is the same center-cropped
-    sin-cos table the Flax model computes host-side, so it is skipped."""
+    sin-cos table the Flax model computes host-side, so it is skipped.
+    With scan_layers, the N-1 homogeneous blocks stack under 'blocks'."""
     tree: dict = {}
     _conv(sd, tree, "pos_embed.proj", "pos_embed/proj")
     for name in ("timestep_embedder", "text_embedder"):
@@ -312,7 +316,7 @@ def sd3_params(sd: dict[str, np.ndarray]) -> dict:
                     f"{dst}/ff_context/proj_out")
     _linear(sd, tree, "norm_out.linear", "norm_out/linear")
     _linear(sd, tree, "proj_out", "proj_out")
-    return tree
+    return stack_layers(tree, count=n - 1) if scan_layers else tree
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +459,7 @@ def klvae_params(
 # ---------------------------------------------------------------------------
 
 
-def cogvideox_params(sd: dict[str, np.ndarray]) -> dict:
+def cogvideox_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """CogVideoX-2b transformer state dict → CogVideoXTransformer3D tree.
     The 3D sin-cos position buffer is non-persistent (recomputed in Flax);
     RoPE (5B) has no weights."""
@@ -483,7 +487,7 @@ def cogvideox_params(sd: dict[str, np.ndarray]) -> dict:
     _linear(sd, tree, "norm_out.linear", "norm_out_linear")
     _norm(sd, tree, "norm_out.norm", "norm_out_norm")
     _linear(sd, tree, "proj_out", "proj_out")
-    return tree
+    return stack_layers(tree) if scan_layers else tree
 
 
 def to_jax(tree: Any, dtype=None) -> Any:

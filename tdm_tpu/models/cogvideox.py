@@ -54,9 +54,11 @@ class CogVideoXConfig:
     sample_frames: int = 13  # latent frames for 49 video frames
     sample_h: int = 60
     sample_w: int = 90
-    use_rotary: bool = False  # False: 2B (learned pos); True: 5B (3D RoPE)
+    use_rotary: bool = False  # False: 2B (fixed sincos); True: 5B (3D RoPE)
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    scan_layers: bool = True  # see models/pixart.py for rationale
+    remat: bool = False
 
     @property
     def hidden(self) -> int:
@@ -169,10 +171,13 @@ class CogLayerNormZero(nn.Module):
 
 class CogVideoXBlock(nn.Module):
     cfg: CogVideoXConfig
+    scan: bool = False  # under nn.scan: carry=(x, ctx)
 
     @nn.compact
-    def __call__(self, x, ctx, temb, rotary):
+    def __call__(self, x, ctx, temb=None, rotary=None):
         """x [B,S_vid,D] video tokens, ctx [B,S_txt,D] text tokens."""
+        if self.scan:
+            x, ctx, (temb, rotary) = *x, ctx
         c = self.cfg
         b, s_vid, _ = x.shape
         s_txt = ctx.shape[1]
@@ -218,7 +223,7 @@ class CogVideoXBlock(nn.Module):
         )(h)
         ctx = ctx + c_gate * h[:, :s_txt]
         x = x + gate * h[:, s_txt:]
-        return x, ctx
+        return ((x, ctx), None) if self.scan else (x, ctx)
 
 
 class CogVideoXTransformer3D(nn.Module):
@@ -262,8 +267,23 @@ class CogVideoXTransformer3D(nn.Module):
             c.time_embed_dim, dtype=c.dtype, name="time_embedding"
         )(t_base.astype(c.dtype))
 
-        for i in range(c.num_layers):
-            x, ctx = CogVideoXBlock(cfg=c, name=f"blocks_{i}")(x, ctx, temb, rotary)
+        block_cls = nn.remat(CogVideoXBlock) if c.remat else CogVideoXBlock
+        if c.scan_layers:
+            stack = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_layers,
+                in_axes=(nn.broadcast,),
+            )
+            (x, ctx), _ = stack(cfg=c, scan=True, name="blocks")(
+                (x, ctx), (temb, rotary)
+            )
+        else:
+            for i in range(c.num_layers):
+                x, ctx = block_cls(cfg=c, name=f"blocks_{i}")(
+                    x, ctx, temb, rotary
+                )
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_final")(
             jnp.concatenate([ctx, x], axis=1)

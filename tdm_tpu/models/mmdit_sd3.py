@@ -49,6 +49,11 @@ class MMDiTConfig:
     qk_norm: Optional[str] = None  # 'rms' for SD3.5-family
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    # scan the N-1 homogeneous dual-stream blocks (stacked params under
+    # 'blocks'); the final context_pre_only block stays unrolled as
+    # 'blocks_{N-1}'. See models/pixart.py for the compile-time rationale.
+    scan_layers: bool = True
+    remat: bool = False
 
     @property
     def hidden(self) -> int:
@@ -88,10 +93,13 @@ class AdaLNZero(nn.Module):
 class JointBlock(nn.Module):
     cfg: MMDiTConfig
     context_pre_only: bool = False
+    scan: bool = False  # under nn.scan: carry=(x, ctx), returns (carry, None)
 
     @nn.compact
-    def __call__(self, x, ctx, temb):
+    def __call__(self, x, ctx, temb=None):
         """x [B,S,D] image tokens, ctx [B,L,D] text tokens, temb [B,D]."""
+        if self.scan:
+            x, ctx, temb = *x, ctx  # carry unpack: ((x, ctx), temb)
         c = self.cfg
         b, s, _ = x.shape
         lctx = ctx.shape[1]
@@ -159,7 +167,7 @@ class JointBlock(nn.Module):
         ctx = ctx + c_g_mlp * L.FeedForward(
             mult=4, activation="gelu-approximate", dtype=c.dtype, name="ff_context"
         )(hc)
-        return x, ctx
+        return ((x, ctx), None) if self.scan else (x, ctx)
 
 
 class SD3Transformer2D(nn.Module):
@@ -205,12 +213,26 @@ class SD3Transformer2D(nn.Module):
             context.astype(c.dtype)
         )
 
-        for i in range(c.num_layers):
-            x, ctx = JointBlock(
-                cfg=c,
-                context_pre_only=(i == c.num_layers - 1),
-                name=f"blocks_{i}",
+        block_cls = nn.remat(JointBlock) if c.remat else JointBlock
+        if c.scan_layers and c.num_layers > 1:
+            stack = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_layers - 1,
+                in_axes=(nn.broadcast,),
+            )
+            (x, ctx), _ = stack(cfg=c, scan=True, name="blocks")((x, ctx), temb)
+            x, ctx = block_cls(
+                cfg=c, context_pre_only=True, name=f"blocks_{c.num_layers - 1}"
             )(x, ctx, temb)
+        else:
+            for i in range(c.num_layers):
+                x, ctx = block_cls(
+                    cfg=c,
+                    context_pre_only=(i == c.num_layers - 1),
+                    name=f"blocks_{i}",
+                )(x, ctx, temb)
 
         # AdaLayerNormContinuous final norm: chunk order (scale, shift)
         mod = AdaLNZero(2, c.hidden, dtype=c.dtype, name="norm_out")(temb)

@@ -131,6 +131,48 @@ def _to_x0(
     raise ValueError(f"unknown prediction_type {grid.prediction_type!r}")
 
 
+def sample_lcm(
+    denoise_fn: DenoiseFn,
+    grid: SolverGrid,
+    noise: jnp.ndarray,
+    cond: Any,
+    *,
+    rng: jax.Array | None = None,
+    uncond: Any = None,
+    cfg: float | None = None,
+) -> jnp.ndarray:
+    """LCM multistep sampling as one scan — diffusers `LCMScheduler`, the
+    reference's validation sampler (`src/training.py:37,61`).
+
+    Per step i: x₀ = project(model output); if not last step, re-noise to
+    level i+1 with FRESH noise (x ← α_{i+1}x₀ + σ_{i+1}ε, the stochastic
+    LCM step — unlike the deterministic TDM rollout which reuses the
+    predicted ε, `core/sampling.py`). Last step returns x₀."""
+    k_steps = grid.num_steps
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    step_keys = jax.random.split(rng, k_steps)
+
+    def step(x, scan_in):
+        i, key = scan_in
+        t = jnp.take(grid.model_t, i)
+        t_b = jnp.broadcast_to(t, (x.shape[0],))
+        out = denoise_fn(x, t_b, cond)
+        if cfg is not None:
+            out = cfg_mix(out, denoise_fn(x, t_b, uncond), cfg)
+        x0 = _to_x0(grid, out.astype(jnp.float32), i, x.astype(jnp.float32))
+        ndim = x.ndim
+        a_next = jnp.take(grid.alphas, i + 1).reshape((1,) * ndim)
+        s_next = jnp.take(grid.sigmas, i + 1).reshape((1,) * ndim)
+        eps = jax.random.normal(key, x.shape, jnp.float32)
+        x_next = a_next * x0 + s_next * eps  # σ_K = 0 ⇒ final step = x₀
+        return x_next.astype(x.dtype), None
+
+    x_final, _ = jax.lax.scan(
+        step, noise, (jnp.arange(k_steps), step_keys)
+    )
+    return x_final
+
+
 def sample_dpm_solver(
     denoise_fn: DenoiseFn,
     grid: SolverGrid,

@@ -1,0 +1,3 @@
+"""Pallas TPU kernels + XLA fallbacks (flash attention)."""
+
+from tdm_tpu.ops import attention  # noqa: F401

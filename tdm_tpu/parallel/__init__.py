@@ -1,0 +1,3 @@
+"""Device mesh + sharding rules (DP + FSDP over ('data','fsdp'))."""
+
+from tdm_tpu.parallel import mesh  # noqa: F401

@@ -129,3 +129,34 @@ def test_cfg_mixing_in_solver():
     sigma0 = float(g.sigmas[0])
     # single first-order step from σ₀ to 0 lands on x₀ = x - σ₀·v
     np.testing.assert_allclose(out, noise - sigma0 * mixed, atol=1e-4)
+
+
+def test_lcm_recovers_point_mass():
+    """Analytic denoiser with point-mass x0: LCM must land exactly on x0*
+    regardless of the stochastic intermediate re-noising."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdm_tpu.core import schedules as sched, solvers
+
+    schedule = sched.ddpm_linear()
+    x0_target = jnp.full((2, 4, 8, 8), -0.5)
+
+    def denoise_fn(x, t, cond):
+        a, s = sched.alpha_sigma(schedule, t.astype(jnp.int32), x.ndim)
+        return (x - a * x0_target) / jnp.maximum(s, 1e-6)
+
+    grid = solvers.ddpm_grid(schedule, 4)
+    noise = jax.random.normal(jax.random.PRNGKey(0), x0_target.shape)
+    out = jax.jit(
+        lambda z: solvers.sample_lcm(
+            denoise_fn, grid, z, None, rng=jax.random.PRNGKey(1)
+        )
+    )(noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_target), atol=1e-3)
+    # stochastic: different rng gives a different trajectory but same limit
+    out2 = solvers.sample_lcm(
+        denoise_fn, grid, noise, None, rng=jax.random.PRNGKey(2)
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x0_target), atol=1e-3)

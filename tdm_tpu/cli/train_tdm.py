@@ -43,9 +43,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     logger.info("config: %s", cfg)
     logger.info("devices: %s", jax.devices())
 
-    # ---- mesh: all devices data-parallel (the reference topology) ----
+    # ---- mesh: ('data', 'fsdp') — default all-data-parallel (the
+    # reference topology); --fsdp N shards params/optimizer over N
+    # ICI-adjacent devices (ZeRO-3 equivalent) ----
     n_dev = len(jax.devices())
-    mesh = pmesh.make_mesh(n_dev, 1)
+    if n_dev % max(cfg.fsdp, 1) != 0:
+        raise ValueError(f"--fsdp {cfg.fsdp} does not divide {n_dev} devices")
+    mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp)
     batch_sh = pmesh.batch_sharding(mesh)
     # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
     # the jitted step sees the global batch sharded over 'data'
@@ -174,8 +178,18 @@ def main(argv: Optional[list[str]] = None) -> None:
         sample_shape=sample_shape,
     )
     state = tdm.init_state(teacher, teacher, tx_s, tx_c, use_ema=cfg.use_ema)
-    state = jax.device_put(state, pmesh.replicated(mesh))
-    teacher = jax.device_put(teacher, pmesh.replicated(mesh))
+    if cfg.fsdp > 1:
+        shardings = jax.tree.map(
+            lambda x: __import__("jax").sharding.NamedSharding(
+                mesh, pmesh.fsdp_spec(jnp.shape(x), cfg.fsdp)
+            ),
+            state,
+        )
+        state = jax.device_put(state, shardings)
+        teacher = pmesh.shard_params(teacher, mesh)
+    else:
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        teacher = jax.device_put(teacher, pmesh.replicated(mesh))
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     # ---- resume ----
@@ -254,8 +268,11 @@ def main(argv: Optional[list[str]] = None) -> None:
             and main_process
             and global_step % cfg.validation_steps == 0
         ):
+            # validate the EMA weights when tracked (diffusers EMAModel
+            # copy-to semantics, src/main.py:553-554)
+            val_params = state.ema if cfg.use_ema else state.student
             validation.save_validation_images(
-                denoise_fn, state.student, schedule, val_cond, val_noise,
+                denoise_fn, val_params, schedule, val_cond, val_noise,
                 decode_fn, output_dir=out_dir, step=global_step,
                 total_steps=cfg.total_steps,
             )

@@ -490,6 +490,62 @@ def cogvideox_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> 
     return stack_layers(tree) if scan_layers else tree
 
 
+# ---------------------------------------------------------------------------
+# CogVideoX 3D VAE decoder (diffusers AutoencoderKLCogVideoX → models/vae3d)
+# ---------------------------------------------------------------------------
+
+
+def _cconv3d(sd: dict, tree: dict, src: str, dst: str) -> None:
+    """CogVideoXCausalConv3d (wraps nn.Conv3d as `.conv`): torch
+    [out,in,kt,kh,kw] → Flax [kt,kh,kw,in,out] under `{dst}/conv`."""
+    w = sd[f"{src}.conv.weight"]
+    _set(tree, f"{dst}/conv/kernel",
+         np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0))))
+    if f"{src}.conv.bias" in sd:
+        _set(tree, f"{dst}/conv/bias", sd[f"{src}.conv.bias"])
+
+
+def _vae3d_resnet(sd: dict, tree: dict, src: str, dst: str) -> None:
+    _norm(sd, tree, f"{src}.norm1", f"{dst}/norm1/gn")
+    _cconv3d(sd, tree, f"{src}.conv1", f"{dst}/conv1")
+    _norm(sd, tree, f"{src}.norm2", f"{dst}/norm2/gn")
+    _cconv3d(sd, tree, f"{src}.conv2", f"{dst}/conv2")
+    if f"{src}.conv_shortcut.conv.weight" in sd:
+        w = sd[f"{src}.conv_shortcut.conv.weight"]
+        _set(tree, f"{dst}/shortcut/kernel",
+             np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0))))
+        if f"{src}.conv_shortcut.conv.bias" in sd:
+            _set(tree, f"{dst}/shortcut/bias", sd[f"{src}.conv_shortcut.conv.bias"])
+
+
+def vae3d_decoder_params(
+    sd: dict[str, np.ndarray], *, layers_per_block: int = 3, n_stages: int = 4
+) -> dict:
+    """CogVideoX VAE decoder state dict → VAE3DDecoder tree. Upsampler
+    Conv2d [out,in,3,3] maps to the per-frame (1,3,3) causal conv. The
+    encoder is not converted (image-free training never encodes; our
+    encoder exists for API completeness with its own native layout)."""
+    tree: dict = {}
+    _cconv3d(sd, tree, "decoder.conv_in", "conv_in")
+    _vae3d_resnet(sd, tree, "decoder.mid_block.resnets.0", "mid_block_1")
+    _vae3d_resnet(sd, tree, "decoder.mid_block.resnets.1", "mid_block_2")
+    for i in range(n_stages):
+        for j in range(layers_per_block + 1):
+            _vae3d_resnet(sd, tree, f"decoder.up_blocks.{i}.resnets.{j}",
+                          f"up_{i}_res_{j}")
+        up = f"decoder.up_blocks.{i}.upsamplers.0.conv"
+        if f"{up}.weight" in sd:
+            w = sd[f"{up}.weight"]  # Conv2d [out,in,3,3] → [1,3,3,in,out]
+            _set(tree, f"up_{i}_upsampler/conv/kernel",
+                 np.ascontiguousarray(
+                     np.transpose(w, (2, 3, 1, 0))[None]))
+            if f"{up}.bias" in sd:
+                _set(tree, f"up_{i}_upsampler/conv/bias", sd[f"{up}.bias"])
+    _norm(sd, tree, "decoder.norm_out", "norm_out/gn")
+    _cconv3d(sd, tree, "decoder.conv_out", "conv_out")
+    return tree
+
+
 def to_jax(tree: Any, dtype=None) -> Any:
     """numpy tree → jnp tree (optionally casting float leaves)."""
     import jax.numpy as jnp

@@ -145,9 +145,12 @@ class VAE3DDecoder(nn.Module):
         x = ResBlock3D(widths[-1], c.norm_groups, c.dtype, name="mid_block_1")(x)
         x = ResBlock3D(widths[-1], c.norm_groups, c.dtype, name="mid_block_2")(x)
 
+        # decoder stages carry layers_per_block+1 resnets (diffusers
+        # CogVideoX decoder layout); upsampler convs are per-frame 2D
+        # (kernel (1,3,3)) matching CogVideoXUpsample3D's Conv2d
         n_stages = len(widths)
         for i, w in enumerate(reversed(widths)):
-            for j in range(c.layers_per_block):
+            for j in range(c.layers_per_block + 1):
                 x = ResBlock3D(w, c.norm_groups, c.dtype, name=f"up_{i}_res_{j}")(x)
             if i < n_spatial:
                 x = _upsample_spatial(x)
@@ -156,7 +159,9 @@ class VAE3DDecoder(nn.Module):
             if 0 < i <= n_temporal:
                 x = _upsample_temporal(x)
             if i < n_stages - 1:
-                x = CausalConv3d(w, dtype=c.dtype, name=f"up_{i}_conv")(x)
+                x = CausalConv3d(
+                    w, kernel=(1, 3, 3), dtype=c.dtype, name=f"up_{i}_upsampler"
+                )(x)
 
         x = SpatialGroupNorm(c.norm_groups, name="norm_out")(x)
         x = CausalConv3d(c.image_channels, dtype=c.dtype, name="conv_out")(nn.silu(x))

@@ -93,6 +93,11 @@ class TrainConfig:
     validation_steps: int = 50  # cadence of src/main.py:541-542
     prediction_type: Optional[str] = None
 
+    # TPU extension: devices on the 'fsdp' mesh axis (param/optimizer
+    # sharding — the DeepSpeed ZeRO-3 equivalent, src/main.py:141-160;
+    # 1 = pure data-parallel, the reference's default topology)
+    fsdp: int = 1
+
     # TDM-specific (src/args.py:302-328)
     cfg: float = 4.5
     total_steps: int = 900

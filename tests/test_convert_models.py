@@ -267,3 +267,53 @@ def test_cogvideox_convert():
     _assert_same_structure(tree, init)
     out = model.apply({"params": tree}, lat, jnp.zeros((1,)), text)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae3d_decoder_convert():
+    from tdm_tpu.models import vae3d
+
+    cfg = vae3d.VAE3DConfig.tiny()
+    widths = list(cfg.block_widths)
+    n_stages = len(widths)
+    lpb = cfg.layers_per_block
+    b = SDBuilder()
+
+    def cconv(name, cin, cout, kt=3):
+        b.sd[f"{name}.conv.weight"] = b.rng.normal(
+            size=(cout, cin, kt, 3, 3)).astype(np.float32) * 0.02
+        b.sd[f"{name}.conv.bias"] = np.zeros(cout, np.float32)
+
+    def resnet(name, cin, cout):
+        b.norm(f"{name}.norm1", cin)
+        cconv(f"{name}.conv1", cin, cout)
+        b.norm(f"{name}.norm2", cout)
+        cconv(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            # 1×1×1 shortcut (plain conv in our model)
+            b.sd[f"{name}.conv_shortcut.conv.weight"] = b.rng.normal(
+                size=(cout, cin, 1, 1, 1)).astype(np.float32) * 0.02
+            b.sd[f"{name}.conv_shortcut.conv.bias"] = np.zeros(cout, np.float32)
+
+    cconv("decoder.conv_in", cfg.latent_channels, widths[-1])
+    resnet("decoder.mid_block.resnets.0", widths[-1], widths[-1])
+    resnet("decoder.mid_block.resnets.1", widths[-1], widths[-1])
+    ch = widths[-1]
+    for i, w in enumerate(reversed(widths)):
+        for j in range(lpb + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", ch, w)
+            ch = w
+        if i < n_stages - 1:
+            b.conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", w, w)
+    b.norm("decoder.norm_out", widths[0])
+    cconv("decoder.conv_out", widths[0], cfg.image_channels)
+
+    tree = convert.to_jax(
+        convert.vae3d_decoder_params(b.sd, layers_per_block=lpb,
+                                     n_stages=n_stages)
+    )
+    dec = vae3d.VAE3DDecoder(cfg=cfg)
+    z = jnp.zeros((1, cfg.latent_channels, 3, 6, 6))
+    init = dec.init(jax.random.PRNGKey(0), z)["params"]
+    _assert_same_structure(tree, init)
+    out = dec.apply({"params": tree}, z)
+    assert np.isfinite(np.asarray(out)).all()

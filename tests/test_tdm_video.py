@@ -1,0 +1,64 @@
+"""TDM distillation on the VIDEO family: tiny CogVideoX (v-prediction,
+5-D latents) through the same jitted train step — proving the step is
+model-agnostic via the ε-denoise-fn contract (a v-pred model wraps its
+output with `predicted_noise`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdm_tpu.core import schedules as sched
+from tdm_tpu.models import cogvideox as cog
+from tdm_tpu.train import optim as topt, tdm
+
+
+def test_video_tdm_step_runs_and_updates():
+    cfg = cog.CogVideoXConfig.tiny()
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    schedule = sched.cogvideox()  # v-prediction, SNR-shifted
+    # ε-space schedule view for the step's critic/transport math: same
+    # tables, ε conversions handled in the wrapper below
+    b = 2
+    sample_shape = (16, cfg.sample_frames, cfg.sample_h, cfg.sample_w)
+    lat = jnp.zeros((b, *sample_shape))
+    text = jax.random.normal(
+        jax.random.PRNGKey(0), (b, cfg.max_text_len, cfg.text_dim)
+    )
+    teacher = model.init(jax.random.PRNGKey(1), lat, jnp.zeros((b,)), text)[
+        "params"
+    ]
+
+    def denoise_fn(params, x, t, cond):
+        # model predicts v; the TDM step consumes ε — convert with the
+        # schedule (eps = f(v, x, t)); cond is the raw T5 embedding tensor
+        v = model.apply({"params": params}, x, t, cond)
+        return sched.predicted_noise(schedule, v, t.astype(jnp.int32), x)
+
+    config = tdm.TDMConfig(
+        total_steps=1000, num_steps=4, cfg=3.0, use_separate=True
+    )
+    tx = topt.make_optimizer(1e-3)
+    step = tdm.build_train_step(
+        denoise_fn, teacher, schedule, config, tx, tx,
+        sample_shape=sample_shape,
+    )
+    state = tdm.init_state(teacher, teacher, tx, tx)
+    jit_step = jax.jit(step)
+
+    uncond = jnp.zeros_like(text)
+    s1, m1 = jit_step(state, jax.random.PRNGKey(2), text, uncond, teacher)
+    s2, m2 = jit_step(s1, jax.random.PRNGKey(3), text, uncond, teacher)
+    for m in (m1, m2):
+        for name, v in m._asdict().items():
+            assert np.isfinite(float(v)), f"{name} not finite"
+    assert int(s2.step) == 2
+    # both nets actually moved
+    d_student = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(state.student), jax.tree.leaves(s2.student))
+    )
+    d_critic = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(state.critic), jax.tree.leaves(s2.critic))
+    )
+    assert d_student > 0 and d_critic > 0

@@ -17,11 +17,10 @@ Layout: q [B, H, Sq, D], k/v [B, H, Sk, D] — head-major so each (batch,head)
 pair is one grid row and blocks are contiguous [S, D] tiles (last dim lane-
 aligned after padding D→multiple of 128).
 
-Gradients: both impls are differentiable — the pallas path uses a custom VJP
-whose backward falls back to the XLA formulation (tile-rematerialized by the
-compiler); a dedicated Pallas backward kernel is the planned upgrade for
-long-sequence (video) training. The 4-NFE inference hot path never
-differentiates.
+Gradients: both impls are differentiable. The pallas path has a full custom
+VJP with Dao-style blockwise BACKWARD kernels (dq and dk/dv passes driven by
+the forward's saved logsumexp) — no S×S materialization in either direction,
+which is what makes video-length (S≈18k) TRAINING fit in HBM.
 """
 
 from __future__ import annotations
@@ -91,7 +90,9 @@ def _xla_attention(q, k, v, bias, scale):
 # ---------------------------------------------------------------------------
 
 
-def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, scale):
+def _flash_fwd_kernel(
+    bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *, scale
+):
     """One (batch·head, q-block, k-block) grid cell of online-softmax
     attention. k is the innermost grid dim, so (acc, m, l) scratch carries
     across k-blocks of the same q-block."""
@@ -133,6 +134,10 @@ def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, sc
         l = l_i[:, :1]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc[:] / denom).astype(o_ref.dtype)
+        # logsumexp per row for the backward pass; +1e30 sentinel on
+        # all-masked rows makes exp(s - lse) = 0 there
+        lse = jnp.where(l == 0.0, 1e30, m_i[:, :1] + jnp.log(denom))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _pad_to(x, mult, axis):
@@ -201,12 +206,24 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad),
-            lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # lse carried at min-tile width 128 (column-broadcast) — tiny
+            # vs the KV stream and keeps the layout lane-aligned
+            pl.BlockSpec(
+                (1, 1, block_q, 128),
+                lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -214,15 +231,187 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
         ],
         interpret=interpret,
     )(bias_p[:, None, :], qp, kp, vp)
+    out, lse = out
 
-    return out[:, :, :sq, :d], (q, k, v, bias)
+    return out[:, :, :sq, :d], (q, k, v, bias, out, lse)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward) — Dao-style blockwise dq / dk / dv
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
+    *, scale
+):
+    """Grid (b·h, q-block, k-block): accumulate dq over k-blocks.
+    dS = P ∘ (dO·Vᵀ − Δ);  dQ = scale · dS·K  with P = exp(S − lse)."""
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0, 0]
+    kb = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, :1])
+    acc[:] += scale * jax.lax.dot_general(
+        ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kj == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0, 0] = acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, acc_dk, acc_dv, *, scale
+):
+    """Grid (b·h, k-block, q-block): accumulate dk/dv over q-blocks.
+    dV = Pᵀ·dO;  dK = scale · dSᵀ·Q."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        acc_dk[:] = jnp.zeros_like(acc_dk)
+        acc_dv[:] = jnp.zeros_like(acc_dv)
+
+    q = q_ref[0, 0]
+    kb = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])  # [block_q, block_k]
+    do = do_ref[0, 0]
+    acc_dv[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, :1])
+    acc_dk[:] += scale * jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0, 0] = acc_dk[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = acc_dv[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, bias = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, bias, scale), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(bias)
+    q, k, v, bias, out_p, lse = residuals
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    d_pad = max(128, ((d + 127) // 128) * 128)
+
+    qp = _pad_to(_pad_to(q, block_q, 2), d_pad, 3)
+    kp = _pad_to(_pad_to(k, block_k, 2), d_pad, 3)
+    vp = _pad_to(_pad_to(v, block_k, 2), d_pad, 3)
+    gp = _pad_to(_pad_to(g, block_q, 2), d_pad, 3)
+    bias_p = _pad_bias(bias, block_k)[:, None, :]
+    sq_p, sk_p = qp.shape[2], kp.shape[2]
+
+    # Δ = rowsum(dO ∘ O) — elementwise, XLA fuses it; broadcast to width 128
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out_p[:, :, :sq, :d].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, (b, h, sq, 128))
+    delta = _pad_to(delta, block_q, 2)
+
+    def spec_bh(bq, bd):
+        return pl.BlockSpec(
+            (1, 1, bq, bd),
+            lambda bh_, i, j: (bh_ // h, bh_ % h, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def spec_bh_j(bq, bd):
+        return pl.BlockSpec(
+            (1, 1, bq, bd),
+            lambda bh_, i, j: (bh_ // h, bh_ % h, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    # dq: grid (bh, q, k) — q-indexed blocks on i, k-indexed on j
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(b * h, sq_p // block_q, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_k),
+                lambda bh_, i, j: (bh_ // h, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            spec_bh(block_q, d_pad),  # q
+            spec_bh_j(block_k, d_pad),  # k
+            spec_bh_j(block_k, d_pad),  # v
+            spec_bh(block_q, d_pad),  # do
+            spec_bh(block_q, 128),  # lse
+            spec_bh(block_q, 128),  # delta
+        ],
+        out_specs=spec_bh(block_q, d_pad),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(bias_p, qp, kp, vp, gp, lse, delta)
+
+    # dk/dv: grid (bh, k, q) — k-indexed blocks on i, q-indexed on j
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(b * h, sk_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_k),
+                lambda bh_, i, j: (bh_ // h, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            spec_bh_j(block_q, d_pad),  # q (over j)
+            spec_bh(block_k, d_pad),  # k (over i)
+            spec_bh(block_k, d_pad),  # v (over i)
+            spec_bh_j(block_q, d_pad),  # do (over j)
+            spec_bh_j(block_q, 128),  # lse (over j)
+            spec_bh_j(block_q, 128),  # delta (over j)
+        ],
+        out_specs=[
+            spec_bh(block_k, d_pad),
+            spec_bh(block_k, d_pad),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bias_p, qp, kp, vp, gp, lse, delta)
+
+    return (
+        dq[:, :, :sq, :d],
+        dk[:, :, :sk, :d],
+        dv[:, :, :sk, :d],
+        jnp.zeros_like(bias),
+    )
 
 
 _flash_attention.defvjp(_flash_fwd_res, _flash_bwd)

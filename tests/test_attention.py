@@ -80,3 +80,34 @@ def test_flash_gradients_match_xla():
 
     for ga, gb in zip(loss("pallas"), loss("xla")):
         np.testing.assert_allclose(ga, gb, atol=1e-4, rtol=1e-4)
+
+
+def test_flash_backward_multiblock_masked():
+    """Blockwise backward kernels (dq + dk/dv) vs XLA grads across multiple
+    q/k blocks, rectangular shapes, ragged key mask, and nonuniform
+    upstream cotangent."""
+    b, h, sq, sk, d = 2, 2, 300, 260, 40  # forces padding on every axis
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk, s in
+               zip(keys[:3], (sq, sk, sk)))
+    mask = np.ones((b, sk), np.int32)
+    mask[0, 200:] = 0
+    mask[1, 64:] = 0
+    mask = jnp.asarray(mask)
+    g = _rand(keys[3], (b, h, sq, d))
+
+    def grads(impl):
+        def f(q, k, v):
+            out = attention(
+                q, k, v, mask, impl=impl, interpret=True,
+                block_q=128, block_k=128,
+            )
+            return jnp.sum(out * g)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for ga, gb, name in zip(grads("pallas"), grads("xla"), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )

@@ -122,9 +122,79 @@ def bench_sd3_4nfe(batch: int = 4, iters: int = 5) -> dict:
     }
 
 
+def bench_tdm_train_step(batch: int = 4, iters: int = 5) -> dict:
+    """Full-size PixArt TDM train step (9-11 denoiser forwards + student
+    backward + two optimizer updates, §3.2) on one chip — the 'PixArt
+    distill iters/hour' tracked metric. Teacher/student/critic all live in
+    HBM (bf16 weights + bf16 Adam moments + remat = the --use_8bit_adam +
+    --gradient_checkpointing recipe, README.md:168-170)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.models import pixart
+    from tdm_tpu.train import optim as topt, tdm
+
+    cfg = dataclasses.replace(pixart.PixArtConfig(), remat=True)
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    seq = 120
+    latent = jnp.zeros((1, 4, 64, 64), jnp.bfloat16)
+    text = jnp.zeros((batch, seq, cfg.caption_dim), jnp.bfloat16)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    teacher = jax.jit(model.init)(
+        jax.random.PRNGKey(0), latent, jnp.zeros((1,)), text[:1], mask[:1]
+    )["params"]
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), teacher)
+
+    def denoise_fn(params, x, t, cond):
+        te, m = cond
+        return pixart.epsilon(model.apply({"params": params}, x, t, te, m))
+
+    config = tdm.TDMConfig(total_steps=900, num_steps=4, cfg=4.5,
+                           use_huber=True, use_separate=True)
+    tx = topt.make_optimizer(
+        topt.make_lr_schedule("cosine_with_restarts", 2e-5, warmup_steps=50),
+        low_precision_moments=True,
+    )
+    step = tdm.build_train_step(
+        denoise_fn, teacher, sched.ddpm_linear(), config, tx, tx,
+        sample_shape=(4, 64, 64),
+    )
+    state = tdm.init_state(teacher, teacher, tx, tx)
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    cond = (text, mask)
+    uncond = (jnp.zeros_like(text), mask)
+    rng = jax.random.PRNGKey(1)
+    state, _ = jit_step(state, rng, cond, uncond, teacher)  # compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = jit_step(
+            state, jax.random.fold_in(rng, i), cond, uncond, teacher
+        )
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / iters
+    iters_per_hour = 3600.0 / dt
+    # baseline: reference trains 500 iters in ~2 A800-GPU-hours on 2 GPUs
+    # (~1h wall) → 500 iters/hour (README.md:19)
+    return {
+        "metric": "pixart512_tdm_train_iters_per_hour_per_chip",
+        "value": round(iters_per_hour, 1),
+        "unit": f"iters/hour (batch {batch})",
+        "vs_baseline": round(iters_per_hour / 500.0, 3),
+    }
+
+
 if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
-    fn = {"sd3": bench_sd3_4nfe, "pixart": bench_pixart_4nfe}[which]
+    fn = {
+        "sd3": bench_sd3_4nfe,
+        "pixart": bench_pixart_4nfe,
+        "train": bench_tdm_train_step,
+    }[which]
     print(json.dumps(fn()))

@@ -68,6 +68,18 @@ class TDMConfig:
     student_cfg_in_loss: bool = True  # reference predicts student x0 with CFG
     ema_decay: float = 0.9999
     min_seg: int = 1  # lowest segment index sampled (1..K)
+    # student-update mode:
+    #   'dmd'      — the INTENDED trajectory-distribution-matching gradient
+    #                (paper mechanism): gradient flows through the student's
+    #                generated x̂0; update direction = critic-score minus
+    #                teacher-score in x0 space. Verified to close the
+    #                4-vs-many-NFE gap end-to-end (test_tdm_synthetic_e2e).
+    #   'instruct' — the demo's teacher-regression term as shipped
+    #                (src/main.py:508-529): student x0 at the critic's
+    #                anchor regressed onto the teacher's CFG x0. Kept for
+    #                reference parity; its gradient does NOT flow through
+    #                the rollout (SURVEY.md §2 defect 7 discussion).
+    loss_mode: str = "dmd"
 
     # pytree_node=False so the dataclass stays hashable/static under jit
     def __post_init__(self):
@@ -172,63 +184,16 @@ def build_train_step(
 
         # ---- 3. segment + interval-coupled t_fake ----
         seg, lo, t_fake = sample_segment_and_t(r_seg, config, batch)
-        source, _ = sampling.gather_trajectory_states(traj, grid, seg)
-        # x̂0/ε̂ that produced the source state (segment s came from step s-1)
-        seg_m1 = (seg - 1).reshape((1, -1) + (1,) * len(sample_shape))
-        x0_src = jnp.take_along_axis(traj.x0s, seg_m1, axis=0)[0]
-        eps_src = jnp.take_along_axis(traj.noise_preds, seg_m1, axis=0)[0]
+        fresh = jax.random.normal(r_fresh, z.shape, jnp.float32)
 
-        # ---- 4. transport to t_fake; implied total noise ----
-        fresh = jax.random.normal(r_fresh, source.shape, source.dtype)
-        x_f = sched.transport(schedule, source, fresh, lo, t_fake)
-        eps_mix = sched.mixed_noise(schedule, eps_src, fresh, lo, t_fake)
-
-        # ---- 5. critic DSM update (fixes defect 7: real alternating update)
-        def critic_loss_fn(critic_params):
-            eps_pred = denoise_fn(critic_params, x_f, t_fake, cond)
-            return jnp.mean((eps_pred - jax.lax.stop_gradient(eps_mix)) ** 2)
-
-        loss_critic, critic_grads = jax.value_and_grad(critic_loss_fn)(
-            state.critic
-        )
-        critic_updates, critic_opt = critic_tx.update(
-            critic_grads, state.critic_opt, state.critic
-        )
-        new_critic = optax.apply_updates(state.critic, critic_updates)
-
-        # ---- 6. critic x0 estimate at (x_f, t_fake) — the student's input
-        # (the demo's fake_latents, main.py:481-490); uses the *updated*
-        # critic, stop-grad
-        eps_fake = denoise_fn(
-            jax.lax.stop_gradient(new_critic), x_f, t_fake, cond
-        )
-        x_in = jax.lax.stop_gradient(
-            sched.predicted_origin(schedule, eps_fake, t_fake, x_f)
-        )
-
-        # ---- 7. teacher CFG target in x0 space (fixes defects 3+4) ----
-        eps_t_c = denoise_fn(teacher, x_in, t_fake, cond)
-        eps_t_u = denoise_fn(teacher, x_in, t_fake, uncond)
-        x0_t_c = sched.predicted_origin(schedule, eps_t_c, t_fake, x_in)
-        x0_t_u = sched.predicted_origin(schedule, eps_t_u, t_fake, x_in)
-        target = jax.lax.stop_gradient(
-            x0_t_u + config.cfg * (x0_t_c - x0_t_u)
-        )
-
-        # ---- 8. student prediction + weighted loss ----
-        def student_loss_fn(student_params):
-            eps_s_c = denoise_fn(student_params, x_in, t_fake, cond)
-            if config.student_cfg_in_loss and config.cfg != 1.0:
-                eps_s_u = denoise_fn(student_params, x_in, t_fake, uncond)
-                eps_s = eps_s_u + config.cfg * (eps_s_c - eps_s_u)
-            else:
-                eps_s = eps_s_c
-            x0_s = sched.predicted_origin(schedule, eps_s, t_fake, x_in)
-            diff32 = x0_s.astype(jnp.float32) - target.astype(jnp.float32)
-            # per-sample normalizer = stop-grad mean|Δ| (main.py:519)
+        def weighted_loss(x_pred, target, weight_anchor):
+            """Huber(c=1e-3)/w or MSE/w with per-sample stop-grad
+            normalizer w = mean|weight_anchor| (main.py:519-529)."""
+            diff32 = x_pred.astype(jnp.float32) - target.astype(jnp.float32)
             axes = tuple(range(1, diff32.ndim))
             w = jax.lax.stop_gradient(
-                jnp.mean(jnp.abs(diff32), axis=axes, keepdims=True)
+                jnp.mean(jnp.abs(weight_anchor.astype(jnp.float32)),
+                         axis=axes, keepdims=True)
             )
             w = jnp.maximum(w, 1e-8)
             if config.use_huber:
@@ -238,6 +203,116 @@ def build_train_step(
             else:
                 per = diff32**2 / w
             return jnp.mean(per)
+
+        def teacher_cfg_x0(x_t, t):
+            """Teacher x0 pair → CFG target in x0 space (fixes defects
+            3+4); all stop-grad."""
+            eps_t_c = denoise_fn(teacher, x_t, t, cond)
+            x0_t_c = sched.predicted_origin(schedule, eps_t_c, t, x_t)
+            if config.cfg == 1.0:
+                return jax.lax.stop_gradient(x0_t_c)
+            eps_t_u = denoise_fn(teacher, x_t, t, uncond)
+            x0_t_u = sched.predicted_origin(schedule, eps_t_u, t, x_t)
+            return jax.lax.stop_gradient(
+                x0_t_u + config.cfg * (x0_t_c - x0_t_u)
+            )
+
+        if config.loss_mode == "dmd":
+            # ==== INTENDED TDM: distribution matching along the trajectory
+            # with gradient THROUGH the student's generated x̂0 ====
+            # generator output for segment s: the x0 the student predicts at
+            # the trajectory input of step s-1 (input stop-grad, params live)
+            state_in, _ = sampling.gather_trajectory_states(traj, grid, seg - 1)
+            t_in = jnp.take(grid, seg - 1)
+
+            def gen_x0(student_params):
+                out = denoise_fn(student_params, state_in, t_in, cond)
+                return sched.predicted_origin(schedule, out, t_in, state_in)
+
+            # noise the (stop-grad view of the) sample to t_fake once; the
+            # same x_t value anchors critic training and both score probes
+            x0_gen_sg = jax.lax.stop_gradient(gen_x0(state.student))
+            a_f, s_f = sched.alpha_sigma(schedule, t_fake, z.ndim)
+            x_t_sg = (a_f * x0_gen_sg + s_f * fresh).astype(x0_gen_sg.dtype)
+
+            # ---- critic DSM update on the student sample (defect 7 fix:
+            # a real alternating update; target is the exact fresh ε) ----
+            def critic_loss_fn(critic_params):
+                eps_pred = denoise_fn(critic_params, x_t_sg, t_fake, cond)
+                return jnp.mean(
+                    (eps_pred.astype(jnp.float32) - fresh) ** 2
+                )
+
+            loss_critic, critic_grads = jax.value_and_grad(critic_loss_fn)(
+                state.critic
+            )
+            critic_updates, critic_opt = critic_tx.update(
+                critic_grads, state.critic_opt, state.critic
+            )
+            new_critic = optax.apply_updates(state.critic, critic_updates)
+
+            # ---- score probes at (x_t, t_fake): teacher (real, CFG) and
+            # updated critic (fake), both stop-grad ----
+            x0_real = teacher_cfg_x0(x_t_sg, t_fake)
+            eps_fake = denoise_fn(
+                jax.lax.stop_gradient(new_critic), x_t_sg, t_fake, cond
+            )
+            x0_fake = jax.lax.stop_gradient(
+                sched.predicted_origin(schedule, eps_fake, t_fake, x_t_sg)
+            )
+
+            # ---- student DMD update: grad (x0_fake − x0_real)·∂x̂0/∂θ ----
+            def student_loss_fn(student_params):
+                x0_gen = gen_x0(student_params)
+                target = jax.lax.stop_gradient(
+                    x0_gen + x0_real - x0_fake
+                )
+                return weighted_loss(x0_gen, target, x0_gen_sg - x0_real)
+
+        else:  # 'instruct' — the demo's shipped term (main.py:481-529)
+            source, _ = sampling.gather_trajectory_states(traj, grid, seg)
+            seg_m1 = (seg - 1).reshape((1, -1) + (1,) * len(sample_shape))
+            eps_src = jnp.take_along_axis(traj.noise_preds, seg_m1, axis=0)[0]
+
+            # transport the trajectory state to t_fake; critic learns the
+            # implied total noise (Predictor.add_noise/obtain_mixed_noise)
+            x_f = sched.transport(schedule, source, fresh, lo, t_fake)
+            eps_mix = sched.mixed_noise(schedule, eps_src, fresh, lo, t_fake)
+
+            def critic_loss_fn(critic_params):
+                eps_pred = denoise_fn(critic_params, x_f, t_fake, cond)
+                return jnp.mean(
+                    (eps_pred - jax.lax.stop_gradient(eps_mix)) ** 2
+                )
+
+            loss_critic, critic_grads = jax.value_and_grad(critic_loss_fn)(
+                state.critic
+            )
+            critic_updates, critic_opt = critic_tx.update(
+                critic_grads, state.critic_opt, state.critic
+            )
+            new_critic = optax.apply_updates(state.critic, critic_updates)
+
+            # critic x0 anchor (the demo's fake_latents, main.py:481-490)
+            eps_fake = denoise_fn(
+                jax.lax.stop_gradient(new_critic), x_f, t_fake, cond
+            )
+            x_in = jax.lax.stop_gradient(
+                sched.predicted_origin(schedule, eps_fake, t_fake, x_f)
+            )
+            target = teacher_cfg_x0(x_in, t_fake)
+
+            def student_loss_fn(student_params):
+                eps_s_c = denoise_fn(student_params, x_in, t_fake, cond)
+                if config.student_cfg_in_loss and config.cfg != 1.0:
+                    eps_s_u = denoise_fn(student_params, x_in, t_fake, uncond)
+                    eps_s = eps_s_u + config.cfg * (eps_s_c - eps_s_u)
+                else:
+                    eps_s = eps_s_c
+                x0_s = sched.predicted_origin(schedule, eps_s, t_fake, x_in)
+                return weighted_loss(
+                    x0_s, target, x0_s.astype(jnp.float32) - target.astype(jnp.float32)
+                )
 
         loss_student, student_grads = jax.value_and_grad(student_loss_fn)(
             state.student

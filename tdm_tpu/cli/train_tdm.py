@@ -171,6 +171,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     tdm_cfg = tdm.TDMConfig(
         cfg=cfg.cfg, total_steps=cfg.total_steps, num_steps=cfg.num_steps,
         use_huber=cfg.use_huber, use_separate=cfg.use_separate,
+        loss_mode=cfg.loss_mode,
     )
     schedule = sched.ddpm_linear()
     step_fn = tdm.build_train_step(

@@ -106,6 +106,9 @@ class TrainConfig:
     use_separate: bool = False
     use_reg: bool = False
     noise_offset: float = 0.0
+    # 'dmd' = intended trajectory-distribution-matching gradient (default);
+    # 'instruct' = the demo's shipped teacher-regression term
+    loss_mode: str = "dmd"
 
     def resolved_output_dir(self) -> str:
         """Suffix encoding like the reference (`src/main.py:75-79`):

@@ -96,16 +96,16 @@ def main(argv: Optional[list[str]] = None) -> None:
         warmup_steps=cfg.lr_warmup_steps,
         total_steps=n_total_steps,
     )
-    tx_s = topt.make_optimizer(
-        lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
-        weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
-        low_precision_moments=cfg.use_8bit_adam,
-    )
-    tx_c = topt.make_optimizer(
-        lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
-        weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
-        low_precision_moments=cfg.use_8bit_adam,
-    )
+    def make_tx():
+        # --use_8bit_adam → blockwise-int8 moments (bitsandbytes parity)
+        return topt.make_optimizer(
+            lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
+            eight_bit=cfg.use_8bit_adam,
+        )
+
+    tx_s = make_tx()
+    tx_c = make_tx()
 
     # ---- data: prompts → embedding batches ----
     emb_cache_path = os.environ.get("TDM_EMBEDDING_CACHE", "")

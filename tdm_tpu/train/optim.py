@@ -19,10 +19,11 @@ possible later upgrade but bf16 moments already halve optimizer HBM.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -78,21 +79,140 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     max_grad_norm: Optional[float] = 1.0,
     low_precision_moments: bool = False,
+    eight_bit: bool = False,
 ) -> optax.GradientTransformation:
     """clip(1.0) → AdamW, the reference's update rule (`src/main.py:206-224,
-    537`). `low_precision_moments` stores both Adam moments in bf16 — the
-    TPU stand-in for bitsandbytes' 8-bit state."""
-    adam = optax.adamw(
-        lr,
-        b1=betas[0],
-        b2=betas[1],
-        eps=eps,
-        weight_decay=weight_decay,
-        mu_dtype=jnp.bfloat16 if low_precision_moments else None,
-    )
+    537`). `low_precision_moments` stores both Adam moments in bf16;
+    `eight_bit` uses the blockwise-int8 state (`adam8bit`) — the true
+    bitsandbytes AdamW8bit equivalent."""
+    if eight_bit:
+        adam = adam8bit(
+            lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
+        )
+    else:
+        adam = optax.adamw(
+            lr,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=weight_decay,
+            mu_dtype=jnp.bfloat16 if low_precision_moments else None,
+        )
     if max_grad_norm is None:
         return adam
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
+
+
+class _Q8Moment(NamedTuple):
+    """Blockwise-int8 quantized tensor: values ∈ [-127,127], one fp32
+    absmax scale per block of 256 elements (flattened)."""
+
+    values: Any  # int8 [padded_n]
+    scales: Any  # fp32 [padded_n // block]
+
+
+_Q8_BLOCK = 256
+
+
+def _q8_quantize(x: jnp.ndarray) -> _Q8Moment:
+    """Sqrt-companded blockwise quantization: u = sign·√(|x|/absmax)·127.
+    The quadratic decode gives ~2× more mantissa bits to SMALL magnitudes —
+    essential for Adam's ν, where linear absmax-int8 flushes small entries
+    to zero and the 1/√ν preconditioner then explodes (the reason
+    bitsandbytes uses dynamic, non-linear 8-bit codes)."""
+    flat = x.astype(jnp.float32).reshape(-1)
+    pad = (-flat.size) % _Q8_BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, _Q8_BLOCK)
+    scale = jnp.max(jnp.abs(blocks), axis=1)
+    safe = jnp.maximum(scale, 1e-30)
+    unit = jnp.clip(jnp.abs(blocks) / safe[:, None], 0.0, 1.0)
+    q = jnp.round(jnp.sign(blocks) * jnp.sqrt(unit) * 127.0).astype(jnp.int8)
+    return _Q8Moment(values=q.reshape(-1), scales=scale)
+
+
+def _q8_dequantize(q: _Q8Moment, shape, dtype=jnp.float32) -> jnp.ndarray:
+    u = q.values.reshape(-1, _Q8_BLOCK).astype(jnp.float32) / 127.0
+    blocks = jnp.sign(u) * u**2 * q.scales[:, None]
+    flat = blocks.reshape(-1)
+    n = int(np.prod(shape)) if shape else 1
+    return flat[:n].reshape(shape).astype(dtype)
+
+
+class _Adam8State(NamedTuple):
+    count: jnp.ndarray
+    mu: Any  # pytree of _Q8Moment
+    nu: Any
+
+
+def adam8bit(
+    lr: optax.Schedule | float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+    min_quantize_size: int = 4096,
+) -> optax.GradientTransformation:
+    """AdamW with BLOCKWISE-INT8 moment state — the TPU-native equivalent of
+    bitsandbytes `AdamW8bit` (reference `src/main.py:206-216`): both Adam
+    moments are stored as int8 values + one fp32 absmax scale per 256-block
+    (~8.25 bits/param/moment vs 32), cutting optimizer HBM ~4×. Small
+    leaves (< min_quantize_size) stay fp32, like bnb's embedding exclusion.
+    Dequant→update→requant runs fused inside the jitted step (VPU-bound,
+    negligible next to the denoiser forwards)."""
+
+    def maybe_q(x):
+        return _q8_quantize(x) if x.size >= min_quantize_size else x.astype(jnp.float32)
+
+    def maybe_dq(q, shape):
+        return _q8_dequantize(q, shape) if isinstance(q, _Q8Moment) else q
+
+    def init_fn(params):
+        zeros = jax.tree.map(lambda p: maybe_q(jnp.zeros_like(p, jnp.float32)), params)
+        return _Adam8State(
+            count=jnp.zeros((), jnp.int32),
+            mu=zeros,
+            nu=jax.tree.map(
+                lambda p: maybe_q(jnp.zeros_like(p, jnp.float32)), params
+            ),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("adam8bit requires params (for weight decay)")
+        count = state.count + 1
+        lr_t = lr(count) if callable(lr) else lr
+        c1 = 1.0 - b1**count.astype(jnp.float32)
+        c2 = 1.0 - b2**count.astype(jnp.float32)
+
+        is_q = lambda x: isinstance(x, _Q8Moment)
+
+        def upd(g, mu_q, nu_q, p):
+            g32 = g.astype(jnp.float32)
+            mu = b1 * maybe_dq(mu_q, g.shape) + (1 - b1) * g32
+            nu = b2 * maybe_dq(nu_q, g.shape) + (1 - b2) * g32**2
+            step = lr_t * (
+                (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+                + weight_decay * p.astype(jnp.float32)
+            )
+            return (-step).astype(p.dtype), maybe_q(mu), maybe_q(nu)
+
+        out = jax.tree.map(
+            upd, grads, state.mu, state.nu, params, is_leaf=is_q
+        )
+        # out is a pytree of 3-tuples at the grad leaves; split it
+        updates = jax.tree.map(
+            lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3
+        )
+        mu = jax.tree.map(
+            lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3
+        )
+        nu = jax.tree.map(
+            lambda t: t[2], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3
+        )
+        return updates, _Adam8State(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def ema_update(ema_params: Any, new_params: Any, decay: float) -> Any:

@@ -37,6 +37,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
 
     cfg = cfg_lib.parse_args(argv)
+    if cfg.debug_nans:
+        # the jax_debug_nans guardrail (SURVEY.md §5 'race detection' TPU
+        # equivalent — esp. the transport-NaN class of bugs, §2 defect 6)
+        jax.config.update("jax_debug_nans", True)
     out_dir = cfg.resolved_output_dir()
     main_process = jax.process_index() == 0
     logger = log_lib.setup_logging(main_process=main_process)
@@ -280,9 +284,40 @@ def main(argv: Optional[list[str]] = None) -> None:
         if global_step % cfg.checkpointing_steps == 0:
             mgr.save(global_step, state)
             logger.info("saved checkpoint-%d", global_step)
+        if cfg.profile_steps > 0 and global_step == 10 and main_process:
+            # trace the next N steady-state steps (xplane dump for xprof)
+            prof_dir = os.path.join(out_dir, "profile")
+            jax.profiler.start_trace(prof_dir)
+        if (
+            cfg.profile_steps > 0
+            and global_step == 10 + cfg.profile_steps
+            and main_process
+        ):
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            logger.info("profile written to %s/profile", out_dir)
 
     mgr.save(global_step, state)
     mgr.wait()
+
+    # ---- final artifacts: student weights + extracted kohya LoRA (the
+    # reference's released-checkpoint form, README.md:140-144) ----
+    if main_process:
+        from tdm_tpu.io import params as params_io
+        from tdm_tpu.lora import extract_lora, save_kohya
+
+        final = state.ema if cfg.use_ema else state.student
+        params_io.save_params(
+            final, os.path.join(out_dir, "student.safetensors"),
+            dtype=np.float16,
+        )
+        if cfg.export_lora_rank > 0:
+            lora = extract_lora(teacher, final, rank=cfg.export_lora_rank)
+            save_kohya(
+                lora, os.path.join(out_dir, "tdm_lora.safetensors"),
+                prefix="lora_transformer",
+            )
+            logger.info("exported student.safetensors + tdm_lora.safetensors")
     metrics_log.close()
     logger.info("done at step %d", global_step)
 

@@ -11,3 +11,4 @@ from tdm_tpu.lora.adapter import (  # noqa: F401
     wrap_denoise_fn,
 )
 from tdm_tpu.lora.io import load_lora, save_kohya  # noqa: F401
+from tdm_tpu.lora.adapter import extract_lora  # noqa: F401

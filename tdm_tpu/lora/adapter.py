@@ -177,6 +177,39 @@ def merge(params: Any, lora: LoRA, scale: float = 1.0) -> Any:
     return _unflatten(flat_params)
 
 
+def extract_lora(
+    base_params: Any,
+    tuned_params: Any,
+    rank: int = 32,
+    *,
+    target: Callable[[tuple, jnp.ndarray], bool] = default_target,
+) -> LoRA:
+    """Distill a full-weight finetune into a LoRA by truncated SVD of the
+    per-kernel delta: ΔW ≈ (U√S)(√S Vᵀ). This is how trained TDM students
+    become the reference's released artifact form (full-weight demo
+    training → LoRA checkpoints, `README.md:140-144`). Handles both plain
+    [in, out] and scan-stacked [L, in, out] kernels (batched SVD). alpha is
+    set to rank so the effective factor is exactly 1."""
+    fb = _flatten_params(base_params)
+    ft = _flatten_params(tuned_params)
+    entries: dict[tuple, dict] = {}
+    alphas = []
+    for kpath, w0 in fb.items():
+        if kpath[-1] != "kernel" or not target(kpath[:-1], w0):
+            continue
+        delta = (
+            jnp.asarray(ft[kpath], jnp.float32) - jnp.asarray(w0, jnp.float32)
+        )
+        r = min(rank, delta.shape[-2], delta.shape[-1])
+        u, s, vt = jnp.linalg.svd(delta, full_matrices=False)
+        sq = jnp.sqrt(s[..., :r])
+        a = u[..., :, :r] * sq[..., None, :]  # [..., in, r]
+        b = sq[..., :, None] * vt[..., :r, :]  # [..., r, out]
+        entries[kpath[:-1]] = {"a": a, "b": b}
+        alphas.append((path_str(kpath[:-1]), float(r)))
+    return LoRA(params=_unflatten(entries), alpha=tuple(alphas))
+
+
 def wrap_denoise_fn(denoise_fn, base_params: Any, lora_template: LoRA, scale: float = 1.0):
     """LoRA-training adapter: returns fn(lora_params, x, t, cond) that merges
     `lora_params` into the frozen base inside the traced step, so only the

@@ -109,6 +109,14 @@ class TrainConfig:
     # 'dmd' = intended trajectory-distribution-matching gradient (default);
     # 'instruct' = the demo's shipped teacher-regression term
     loss_mode: str = "dmd"
+    # rank for the final kohya-LoRA artifact extracted from the trained
+    # delta (0 = skip; released TDM artifacts are LoRA, README.md:140-144)
+    export_lora_rank: int = 32
+    # TPU guardrails/observability (SURVEY.md §5: the reference has none):
+    # debug_nans aborts on the first non-finite value inside jit;
+    # profile_steps>0 wraps steps 11..11+N in a jax.profiler trace
+    debug_nans: bool = False
+    profile_steps: int = 0
 
     def resolved_output_dir(self) -> str:
         """Suffix encoding like the reference (`src/main.py:75-79`):

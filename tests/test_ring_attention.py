@@ -1,0 +1,92 @@
+"""Ring attention vs monolithic attention on the 8-virtual-device mesh —
+sequence-parallel correctness incl. ragged masks and gradients."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tdm_tpu.ops.attention import attention
+from tdm_tpu.ops.ring_attention import ring_attention
+
+
+def _mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+def _run_ring(mesh, q, k, v, mask=None):
+    in_specs = [P(None, None, "sp", None)] * 3
+    args = [q, k, v]
+    if mask is not None:
+        in_specs.append(P(None, "sp"))
+        args.append(mask)
+
+    fn = shard_map(
+        functools.partial(
+            lambda q, k, v, m=None: ring_attention(
+                q, k, v, axis_name="sp", key_mask=m
+            )
+        ),
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, None, "sp", None),
+    )
+    return fn(*args)
+
+
+def test_ring_matches_monolithic():
+    mesh = _mesh()
+    b, h, s, d = 2, 3, 8 * 16, 32
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    ref = attention(q, k, v, impl="xla")
+    out = jax.jit(lambda q, k, v: _run_ring(mesh, q, k, v))(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ring_with_ragged_mask():
+    mesh = _mesh()
+    b, h, s, d = 2, 2, 8 * 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 40:] = 0  # crosses shard boundaries
+    mask[1, 9:] = 0  # nearly all masked, incl. whole shards
+    mask = jnp.asarray(mask)
+    ref = attention(q, k, v, mask, impl="xla")
+    out = jax.jit(lambda q, k, v, m: _run_ring(mesh, q, k, v, m))(q, k, v, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ring_gradients():
+    mesh = _mesh(4)
+    b, h, s, d = 1, 2, 4 * 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    g = _rand(keys[3], (b, h, s, d))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(_run_ring(mesh, q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, impl="xla") * g)
+
+    for ga, gb in zip(
+        jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v),
+        jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=5e-5, rtol=5e-5
+        )

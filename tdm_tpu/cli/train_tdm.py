@@ -178,11 +178,28 @@ def main(argv: Optional[list[str]] = None) -> None:
         loss_mode=cfg.loss_mode,
     )
     schedule = sched.ddpm_linear()
+    student_fn = None
+    student_init = teacher
+    lora_template = None
+    if cfg.train_lora_rank > 0:
+        # LoRA-mode: student state = adapter factors over the frozen base
+        from tdm_tpu import lora as lora_lib
+
+        lora_template = lora_lib.init_lora(
+            teacher, jax.random.PRNGKey((cfg.seed or 0) + 99),
+            rank=cfg.train_lora_rank,
+        )
+        student_fn = lora_lib.wrap_denoise_fn(denoise_fn, teacher, lora_template)
+        student_init = lora_template.params
+        logger.info("LoRA training: rank %d, %d adapted modules",
+                    cfg.train_lora_rank, len(lora_template.alpha))
     step_fn = tdm.build_train_step(
         denoise_fn, teacher, schedule, tdm_cfg, tx_s, tx_c,
-        sample_shape=sample_shape,
+        sample_shape=sample_shape, student_denoise_fn=student_fn,
     )
-    state = tdm.init_state(teacher, teacher, tx_s, tx_c, use_ema=cfg.use_ema)
+    state = tdm.init_state(
+        student_init, teacher, tx_s, tx_c, use_ema=cfg.use_ema
+    )
     if cfg.fsdp > 1:
         shardings = jax.tree.map(
             lambda x: __import__("jax").sharding.NamedSharding(
@@ -277,8 +294,8 @@ def main(argv: Optional[list[str]] = None) -> None:
             # copy-to semantics, src/main.py:553-554)
             val_params = state.ema if cfg.use_ema else state.student
             validation.save_validation_images(
-                denoise_fn, val_params, schedule, val_cond, val_noise,
-                decode_fn, output_dir=out_dir, step=global_step,
+                student_fn or denoise_fn, val_params, schedule, val_cond,
+                val_noise, decode_fn, output_dir=out_dir, step=global_step,
                 total_steps=cfg.total_steps,
             )
         if global_step % cfg.checkpointing_steps == 0:
@@ -304,20 +321,29 @@ def main(argv: Optional[list[str]] = None) -> None:
     # reference's released-checkpoint form, README.md:140-144) ----
     if main_process:
         from tdm_tpu.io import params as params_io
-        from tdm_tpu.lora import extract_lora, save_kohya
+        from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
 
         final = state.ema if cfg.use_ema else state.student
+        if lora_template is not None:
+            # LoRA mode: the trained factors ARE the artifact; also write
+            # the merged student for direct pipeline use
+            trained = LoRA(params=final, alpha=lora_template.alpha)
+            save_kohya(
+                trained, os.path.join(out_dir, "tdm_lora.safetensors"),
+                prefix="lora_transformer",
+            )
+            final = merge(teacher, trained)
         params_io.save_params(
             final, os.path.join(out_dir, "student.safetensors"),
             dtype=np.float16,
         )
-        if cfg.export_lora_rank > 0:
+        if lora_template is None and cfg.export_lora_rank > 0:
             lora = extract_lora(teacher, final, rank=cfg.export_lora_rank)
             save_kohya(
                 lora, os.path.join(out_dir, "tdm_lora.safetensors"),
                 prefix="lora_transformer",
             )
-            logger.info("exported student.safetensors + tdm_lora.safetensors")
+        logger.info("exported student.safetensors (+ tdm_lora.safetensors)")
     metrics_log.close()
     logger.info("done at step %d", global_step)
 

@@ -142,9 +142,15 @@ def build_train_step(
     critic_tx: optax.GradientTransformation,
     *,
     sample_shape: tuple[int, ...],
+    student_denoise_fn: Optional[ParamDenoiseFn] = None,
 ):
     """Returns `train_step(state, rng, cond, uncond, teacher=None)
     -> (state, metrics)`.
+
+    `student_denoise_fn`: override for the student's forward when its
+    param tree differs from teacher/critic — e.g. LoRA training, where
+    state.student holds only adapter factors merged into the frozen base
+    inside the traced step (`lora.wrap_denoise_fn`).
 
     cond/uncond are the conditioning pytrees (text embeddings + mask).
     The frozen teacher (`src/main.py:370-371`) defaults to the tree passed
@@ -155,6 +161,7 @@ def build_train_step(
     """
     grid = sched.fewstep_grid(config.total_steps, config.num_steps)
     levels = segment_levels(config)
+    student_fn = student_denoise_fn if student_denoise_fn is not None else denoise_fn
 
     def train_step(
         state: TrainState, rng: jax.Array, cond: Any, uncond: Any,
@@ -171,7 +178,7 @@ def build_train_step(
         student_frozen = jax.lax.stop_gradient(state.student)
 
         def rollout_fn(x, t, c):
-            return denoise_fn(student_frozen, x, t, c)
+            return student_fn(student_frozen, x, t, c)
 
         traj = sampling.sample_fewstep(
             rollout_fn,
@@ -226,7 +233,7 @@ def build_train_step(
             t_in = jnp.take(grid, seg - 1)
 
             def gen_x0(student_params):
-                out = denoise_fn(student_params, state_in, t_in, cond)
+                out = student_fn(student_params, state_in, t_in, cond)
                 return sched.predicted_origin(schedule, out, t_in, state_in)
 
             # noise the (stop-grad view of the) sample to t_fake once; the
@@ -303,9 +310,9 @@ def build_train_step(
             target = teacher_cfg_x0(x_in, t_fake)
 
             def student_loss_fn(student_params):
-                eps_s_c = denoise_fn(student_params, x_in, t_fake, cond)
+                eps_s_c = student_fn(student_params, x_in, t_fake, cond)
                 if config.student_cfg_in_loss and config.cfg != 1.0:
-                    eps_s_u = denoise_fn(student_params, x_in, t_fake, uncond)
+                    eps_s_u = student_fn(student_params, x_in, t_fake, uncond)
                     eps_s = eps_s_u + config.cfg * (eps_s_c - eps_s_u)
                 else:
                     eps_s = eps_s_c

@@ -112,6 +112,9 @@ class TrainConfig:
     # rank for the final kohya-LoRA artifact extracted from the trained
     # delta (0 = skip; released TDM artifacts are LoRA, README.md:140-144)
     export_lora_rank: int = 32
+    # train ONLY LoRA adapter factors of this rank over the frozen teacher
+    # (0 = full-weight training, the demo's mode src/main.py:218-224)
+    train_lora_rank: int = 0
     # TPU guardrails/observability (SURVEY.md §5: the reference has none):
     # debug_nans aborts on the first non-finite value inside jit;
     # profile_steps>0 wraps steps 11..11+N in a jax.profiler trace

@@ -156,3 +156,43 @@ def test_train_step_sharded_over_mesh(tiny_setup):
     # params remain replicated after the update
     leaf = jax.tree.leaves(new_state.student)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_lora_mode_training(tiny_setup):
+    """LoRA-mode TDM: student state holds only adapter factors (merged into
+    the frozen base inside the jitted step); base weights never change."""
+    import numpy as np
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.lora import init_lora, wrap_denoise_fn
+    from tdm_tpu.train import optim as topt
+
+    cfg, model, teacher, denoise_fn = tiny_setup
+    lora = init_lora(teacher, jax.random.PRNGKey(5), rank=2)
+    student_fn = wrap_denoise_fn(denoise_fn, teacher, lora)
+
+    config = tdm.TDMConfig(total_steps=900, num_steps=4, cfg=2.0)
+    tx = topt.make_optimizer(1e-3)
+    step = tdm.build_train_step(
+        denoise_fn, teacher, sched.ddpm_linear(), config, tx, tx,
+        sample_shape=(4, cfg.sample_size, cfg.sample_size),
+        student_denoise_fn=student_fn,
+    )
+    state = tdm.init_state(lora.params, teacher, tx, tx)
+
+    b, seq = 2, 8
+    text = jax.random.normal(jax.random.PRNGKey(6), (b, seq, cfg.caption_dim))
+    mask = jnp.ones((b, seq), jnp.int32)
+    cond, uncond = (text, mask), (jnp.zeros_like(text), mask)
+    s1, m1 = jax.jit(step)(state, jax.random.PRNGKey(7), cond, uncond, teacher)
+    assert np.isfinite(float(m1.loss_student))
+    assert np.isfinite(float(m1.loss_critic))
+    # adapter factors moved; only factors live in the student state
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(state.student), jax.tree.leaves(s1.student))
+    )
+    assert moved
+    n_student = sum(x.size for x in jax.tree.leaves(s1.student))
+    n_teacher = sum(x.size for x in jax.tree.leaves(teacher))
+    assert n_student < n_teacher * 0.5  # genuinely low-rank state

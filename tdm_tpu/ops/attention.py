@@ -60,7 +60,13 @@ def attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # measured on v5e: XLA's fused S²-materializing attention wins at
+        # short sequences (PixArt S=1024: 100 vs 115 ms/fwd — the flash
+        # kernel pads head_dim 72→128, wasting MXU work), while flash is
+        # mandatory once the score matrix stops fitting (SD3 S≈4.4k,
+        # video S≈18k). Crossover set at S_q·S_k ≈ 2048².
+        big = q.shape[2] * k.shape[2] > 2048 * 2048
+        impl = "pallas" if (jax.default_backend() == "tpu" and big) else "xla"
     # [B, Sk] float bias: 0 = attend, -1e30 = masked.
     if key_mask is None:
         bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)

@@ -44,8 +44,8 @@ def attention(
     *,
     scale: float | None = None,
     impl: str = "auto",
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, H, S, D] tensors.
@@ -97,7 +97,8 @@ def _xla_attention(q, k, v, bias, scale):
 
 
 def _flash_fwd_kernel(
-    bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i, *, scale
+    bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i,
+    *, scale, with_lse=True
 ):
     """One (batch·head, q-block, k-block) grid cell of online-softmax
     attention. k is the innermost grid dim, so (acc, m, l) scratch carries
@@ -140,10 +141,11 @@ def _flash_fwd_kernel(
         l = l_i[:, :1]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc[:] / denom).astype(o_ref.dtype)
-        # logsumexp per row for the backward pass; +1e30 sentinel on
-        # all-masked rows makes exp(s - lse) = 0 there
-        lse = jnp.where(l == 0.0, 1e30, m_i[:, :1] + jnp.log(denom))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if with_lse:
+            # logsumexp per row for the backward pass; +1e30 sentinel on
+            # all-masked rows makes exp(s - lse) = 0 there
+            lse = jnp.where(l == 0.0, 1e30, m_i[:, :1] + jnp.log(denom))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _pad_to(x, mult, axis):
@@ -163,13 +165,29 @@ def _pad_bias(bias, mult):
     return jnp.pad(bias, ((0, 0), (0, pad)), constant_values=_NEG_INF)
 
 
+def _flash_fwd_kernel_nolse(
+    bias_ref, q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, scale
+):
+    _flash_fwd_kernel(
+        bias_ref, q_ref, k_ref, v_ref, o_ref, None, acc, m_i, l_i,
+        scale=scale, with_lse=False,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret):
-    out, _ = _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret)
+    # primal (inference) path skips the logsumexp output — at fp32×128
+    # columns it writes 2× the attention output's bytes and only the
+    # backward pass reads it
+    out, _ = _flash_fwd_res(
+        q, k, v, bias, scale, block_q, block_k, interpret, with_lse=False
+    )
     return out
 
 
-def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
+def _flash_fwd_res(
+    q, k, v, bias, scale, block_q, block_k, interpret, with_lse=True
+):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     # shrink blocks to the (pow2-rounded) sequence length for short sequences
@@ -185,8 +203,23 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
 
     grid = (b * h, sq_p // block_q, sk_p // block_k)
 
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, d_pad),
+        lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lse_spec = pl.BlockSpec(
+        (1, 1, block_q, 128),
+        lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = (
+        functools.partial(_flash_fwd_kernel, scale=scale)
+        if with_lse
+        else functools.partial(_flash_fwd_kernel_nolse, scale=scale)
+    )
     out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, scale=scale),
+        kernel,
         grid=grid,
         in_specs=[
             # bias carried as [B, 1, Sk]: a (1, 1, block_k) block keeps the
@@ -212,24 +245,15 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d_pad),
-                lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # lse carried at min-tile width 128 (column-broadcast) — tiny
-            # vs the KV stream and keeps the layout lane-aligned
-            pl.BlockSpec(
-                (1, 1, block_q, 128),
-                lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
-        ],
+        out_specs=[out_spec, lse_spec] if with_lse else out_spec,
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+            ]
+            if with_lse
+            else jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype)
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -237,7 +261,10 @@ def _flash_fwd_res(q, k, v, bias, scale, block_q, block_k, interpret):
         ],
         interpret=interpret,
     )(bias_p[:, None, :], qp, kp, vp)
-    out, lse = out
+    if with_lse:
+        out, lse = out
+    else:
+        lse = None
 
     return out[:, :, :sq, :d], (q, k, v, bias, out, lse)
 

@@ -1,3 +1,3 @@
 """Pallas TPU kernels + XLA fallbacks (flash attention)."""
 
-from tdm_tpu.ops import attention  # noqa: F401
+from tdm_tpu.ops import attention, ring_attention  # noqa: F401

@@ -8,3 +8,4 @@ from tdm_tpu.pipelines.cogvideox import CogVideoXPipeline, TDM_TRAINED_GRID  # n
 from tdm_tpu.pipelines.pixart import PixArtPipeline, default_pixart_pipeline  # noqa: F401
 from tdm_tpu.pipelines.sd15 import SD15Pipeline  # noqa: F401
 from tdm_tpu.pipelines.sd3 import SD3Pipeline, default_sd3_pipeline  # noqa: F401
+from tdm_tpu.pipelines.loading import from_pretrained, save_pretrained  # noqa: F401

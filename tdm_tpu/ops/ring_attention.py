@@ -75,10 +75,7 @@ def ring_attention(
     # fresh zeros are 'unvarying' under shard_map's manual-axes typing —
     # mark constructed arrays varying; mask-derived bias already varies
     def vary(x):  # pvary is deprecated in favor of pcast
-        try:
-            return jax.lax.pcast(x, to="varying", axes=(axis_name,))
-        except (AttributeError, TypeError):
-            return jax.lax.pvary(x, (axis_name,))
+        return jax.lax.pcast(x, axis_name, to="varying")
     if key_mask is not None:
         bias = jnp.where(key_mask.astype(bool), 0.0, -1e30).astype(jnp.float32)
     else:

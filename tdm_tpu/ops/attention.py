@@ -148,6 +148,23 @@ def _flash_fwd_kernel(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _pick_block(seq_len: int, requested: int) -> int:
+    """Pad-minimizing block size: among 128-multiples ≤ requested, choose
+    the one whose grid pads `seq_len` least (tie → larger block). SD3's
+    S=4429 pads to 5120 with 1024-blocks but only 4480 with 896 — 23% less
+    work area (measured 14.0 → 13.3 ms)."""
+    requested = min(requested, max(128, 1 << (seq_len - 1).bit_length()))
+    best = requested
+    best_pad = -(-seq_len // requested) * requested
+    for b in range(requested, 127, -128):
+        padded = -(-seq_len // b) * b
+        if padded < best_pad:
+            best, best_pad = b, padded
+        if padded == seq_len:
+            break
+    return best
+
+
 def _pad_to(x, mult, axis):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -190,9 +207,8 @@ def _flash_fwd_res(
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    # shrink blocks to the (pow2-rounded) sequence length for short sequences
-    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(sk, block_k)
 
     d_pad = max(128, ((d + 127) // 128) * 128)
     qp = _pad_to(_pad_to(q, block_q, 2), d_pad, 3)
@@ -351,8 +367,10 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
     q, k, v, bias, out_p, lse = residuals
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    # must match the forward's choices: lse/out residuals are padded to the
+    # forward's sq_p
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(sk, block_k)
     d_pad = max(128, ((d + 127) // 128) * 128)
 
     qp = _pad_to(_pad_to(q, block_q, 2), d_pad, 3)

@@ -113,10 +113,13 @@ def _flash_fwd_kernel(
 
     q = q_ref[0, 0]  # [block_q, d]
     kb = k_ref[0, 0]  # [block_k, d]
+    # q arrives PRE-SCALED (one [S,d] multiply outside beats a per-cell
+    # [bq,bk] multiply here); `scale` is retained only in the kernel
+    # signature for the backward kernels' shared partial-application style
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [block_q, block_k]
-    s = s * scale + bias_ref[0]  # bias block [1, block_k] broadcasts over q
+    s = s + bias_ref[0]  # bias block [1, block_k] broadcasts over q
 
     m_prev = m_i[:, :1]  # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -211,7 +214,8 @@ def _flash_fwd_res(
     block_k = _pick_block(sk, block_k)
 
     d_pad = max(128, ((d + 127) // 128) * 128)
-    qp = _pad_to(_pad_to(q, block_q, 2), d_pad, 3)
+    q_scaled = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = _pad_to(_pad_to(q_scaled, block_q, 2), d_pad, 3)
     kp = _pad_to(_pad_to(k, block_k, 2), d_pad, 3)
     vp = _pad_to(_pad_to(v, block_k, 2), d_pad, 3)
     bias_p = _pad_bias(bias, block_k)

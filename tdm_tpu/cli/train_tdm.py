@@ -293,11 +293,15 @@ def main(argv: Optional[list[str]] = None) -> None:
             # validate the EMA weights when tracked (diffusers EMAModel
             # copy-to semantics, src/main.py:553-554)
             val_params = state.ema if cfg.use_ema else state.student
-            validation.save_validation_images(
+            grids = validation.save_validation_images(
                 student_fn or denoise_fn, val_params, schedule, val_cond,
                 val_noise, decode_fn, output_dir=out_dir, step=global_step,
                 total_steps=cfg.total_steps,
             )
+            for k_nfe, grid in grids.items():
+                metrics_log.log_image(
+                    f"validation/{k_nfe}nfe", grid, global_step
+                )
         if global_step % cfg.checkpointing_steps == 0:
             mgr.save(global_step, state)
             logger.info("saved checkpoint-%d", global_step)

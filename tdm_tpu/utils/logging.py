@@ -67,6 +67,18 @@ class MetricLogger:
             )
             self._jsonl.flush()
 
+    def log_image(self, tag: str, image, step: int) -> None:
+        """[H, W, 3] uint8/float grid → tensorboard (the validation-grid
+        image logging of `log_validation`, reference `src/training.py:85-99`)."""
+        if not self.enabled or self._tb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        self._tb.add_image(tag, arr, step, dataformats="HWC")
+
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()

@@ -22,7 +22,7 @@ step), matching the diffusers defaults used by all three recipes.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

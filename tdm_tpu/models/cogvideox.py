@@ -30,8 +30,6 @@ reference's xformers+tiling approach).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -28,7 +28,6 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from tdm_tpu.models import layers as L

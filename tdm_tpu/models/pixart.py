@@ -25,8 +25,6 @@ safetensors weights key-by-key.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -25,7 +25,7 @@ zoo. Parameter names mirror the HF module tree for safetensors porting.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

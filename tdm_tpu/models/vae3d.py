@@ -29,7 +29,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

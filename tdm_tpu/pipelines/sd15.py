@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from tdm_tpu.core import schedules as sched, solvers
-from tdm_tpu.models import clip as clip_mod, unet_sd15, vae as vae_lib
+from tdm_tpu.models import clip as clip_mod, unet_sd15
 from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_images
 
 

@@ -5,8 +5,6 @@ CPU. This is the §3.1 call stack exercised top to bottom."""
 import json
 import os
 
-import pytest
-
 
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("TDM_TINY_MODEL", "1")

@@ -7,7 +7,6 @@ test_text_encoders.py.)"""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tdm_tpu.io import convert
 from tdm_tpu.models import pixart, vae as vae_lib

@@ -5,7 +5,6 @@ structurally identical to the Flax models' init trees."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tdm_tpu.io import convert
 from tdm_tpu.models import cogvideox as cog, mmdit_sd3, unet_sd15, vae as vae_lib

@@ -1,8 +1,6 @@
 """from_pretrained / save_pretrained round-trip — the reference's primary
 pipeline verb on our artifact layout."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

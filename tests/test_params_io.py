@@ -1,6 +1,5 @@
 """Param safetensors IO + convert CLI round-trip."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

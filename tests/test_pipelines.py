@@ -9,7 +9,6 @@ import pytest
 
 from tdm_tpu.lora import LoRA, init_lora, save_kohya
 from tdm_tpu.models import (
-    clip as clip_mod,
     cogvideox as cog,
     mmdit_sd3,
     pixart,

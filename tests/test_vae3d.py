@@ -3,7 +3,6 @@
 (the `enable_tiling()` replacement, reference `README.md:117-118`)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -174,7 +174,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     tdm_cfg = tdm.TDMConfig(
         cfg=cfg.cfg, total_steps=cfg.total_steps, num_steps=cfg.num_steps,
         use_huber=cfg.use_huber, use_separate=cfg.use_separate,
-        loss_mode=cfg.loss_mode,
+        loss_mode=cfg.loss_mode, critic_updates=cfg.critic_updates,
     )
     schedule = sched.ddpm_linear()
     student_fn = None

@@ -80,6 +80,11 @@ class TDMConfig:
     #                reference parity; its gradient does NOT flow through
     #                the rollout (SURVEY.md §2 defect 7 discussion).
     loss_mode: str = "dmd"
+    # extra critic (fake-score) updates per student update — keeping the
+    # critic accurate is the known stabilizer for distribution-matching
+    # distillation (DMD2 runs 5:1); each extra update draws a fresh (t, ε)
+    # within the SAME per-sample segment interval ('dmd' mode only)
+    critic_updates: int = 1
 
     # pytree_node=False so the dataclass stays hashable/static under jit
     def __post_init__(self):
@@ -242,21 +247,44 @@ def build_train_step(
             a_f, s_f = sched.alpha_sigma(schedule, t_fake, z.ndim)
             x_t_sg = (a_f * x0_gen_sg + s_f * fresh).astype(x0_gen_sg.dtype)
 
-            # ---- critic DSM update on the student sample (defect 7 fix:
-            # a real alternating update; target is the exact fresh ε) ----
-            def critic_loss_fn(critic_params):
-                eps_pred = denoise_fn(critic_params, x_t_sg, t_fake, cond)
-                return jnp.mean(
-                    (eps_pred.astype(jnp.float32) - fresh) ** 2
-                )
+            # ---- critic DSM update(s) on the student sample (defect 7
+            # fix: a real alternating update; target is the exact fresh ε).
+            # config.critic_updates > 1 runs extra updates with fresh (t, ε)
+            # draws from the same per-sample segment interval (DMD2-style
+            # critic:student ratio) ----
+            def one_critic_update(critic, critic_opt, x_t_i, t_i, eps_i):
+                def critic_loss_fn(critic_params):
+                    eps_pred = denoise_fn(critic_params, x_t_i, t_i, cond)
+                    return jnp.mean(
+                        (eps_pred.astype(jnp.float32) - eps_i) ** 2
+                    )
 
-            loss_critic, critic_grads = jax.value_and_grad(critic_loss_fn)(
-                state.critic
+                loss, grads = jax.value_and_grad(critic_loss_fn)(critic)
+                updates, critic_opt = critic_tx.update(
+                    grads, critic_opt, critic
+                )
+                return optax.apply_updates(critic, updates), critic_opt, loss, grads
+
+            new_critic, critic_opt = state.critic, state.critic_opt
+            hi = (
+                jnp.take(levels, seg - 1)
+                if config.use_separate
+                else jnp.full((batch,), config.total_steps - 1, levels.dtype)
             )
-            critic_updates, critic_opt = critic_tx.update(
-                critic_grads, state.critic_opt, state.critic
+            for i in range(config.critic_updates - 1):
+                r_i = jax.random.fold_in(r_fresh, i + 1)
+                r_t_i, r_e_i = jax.random.split(r_i)
+                u_i = jax.random.uniform(r_t_i, (batch,))
+                t_i = (lo + u_i * (hi - lo)).astype(jnp.int32)
+                eps_i = jax.random.normal(r_e_i, z.shape, jnp.float32)
+                a_i, s_i = sched.alpha_sigma(schedule, t_i, z.ndim)
+                x_t_i = (a_i * x0_gen_sg + s_i * eps_i).astype(x0_gen_sg.dtype)
+                new_critic, critic_opt, _, _ = one_critic_update(
+                    new_critic, critic_opt, x_t_i, t_i, eps_i
+                )
+            new_critic, critic_opt, loss_critic, critic_grads = one_critic_update(
+                new_critic, critic_opt, x_t_sg, t_fake, fresh
             )
-            new_critic = optax.apply_updates(state.critic, critic_updates)
 
             # ---- score probes at (x_t, t_fake): teacher (real, CFG) and
             # updated critic (fake), both stop-grad ----

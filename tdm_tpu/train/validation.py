@@ -45,6 +45,21 @@ def save_png(path: str, array: np.ndarray) -> None:
     Image.fromarray(array).save(path)
 
 
+def save_video_gif(path: str, frames: np.ndarray, *, fps: int = 8) -> None:
+    """[F, H, W, 3] floats in [0,1] (or uint8) → animated GIF — the
+    `export_to_video(..., fps=8)` of the CogVideoX recipe
+    (reference `README.md:135`) without an ffmpeg dependency."""
+    from PIL import Image
+
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+
+
 def save_validation_images(
     denoise_fn,
     params: Any,

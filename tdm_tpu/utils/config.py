@@ -109,6 +109,8 @@ class TrainConfig:
     # 'dmd' = intended trajectory-distribution-matching gradient (default);
     # 'instruct' = the demo's shipped teacher-regression term
     loss_mode: str = "dmd"
+    # extra fake-score updates per student update (DMD2-style ratio)
+    critic_updates: int = 1
     # rank for the final kohya-LoRA artifact extracted from the trained
     # delta (0 = skip; released TDM artifacts are LoRA, README.md:140-144)
     export_lora_rank: int = 32

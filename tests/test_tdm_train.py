@@ -196,3 +196,39 @@ def test_lora_mode_training(tiny_setup):
     n_student = sum(x.size for x in jax.tree.leaves(s1.student))
     n_teacher = sum(x.size for x in jax.tree.leaves(teacher))
     assert n_student < n_teacher * 0.5  # genuinely low-rank state
+
+
+def test_critic_update_ratio(tiny_setup):
+    """critic_updates=3 runs extra fake-score updates per step (DMD2-style);
+    the critic must move MORE than with a single update."""
+    import numpy as np
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.train import optim as topt
+
+    cfg, model, teacher, denoise_fn = tiny_setup
+
+    def run(n_updates):
+        config = tdm.TDMConfig(
+            total_steps=900, num_steps=4, cfg=2.0, critic_updates=n_updates
+        )
+        tx = topt.make_optimizer(1e-3)
+        step = tdm.build_train_step(
+            denoise_fn, teacher, sched.ddpm_linear(), config, tx, tx,
+            sample_shape=(4, cfg.sample_size, cfg.sample_size),
+        )
+        state = tdm.init_state(teacher, teacher, tx, tx)
+        b, seq = 2, 8
+        text = jax.random.normal(jax.random.PRNGKey(0), (b, seq, cfg.caption_dim))
+        mask = jnp.ones((b, seq), jnp.int32)
+        s1, m = jax.jit(step)(
+            state, jax.random.PRNGKey(1), (text, mask),
+            (jnp.zeros_like(text), mask), teacher,
+        )
+        assert np.isfinite(float(m.loss_critic))
+        return sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(state.critic), jax.tree.leaves(s1.critic))
+        )
+
+    assert run(3) > run(1) * 1.5

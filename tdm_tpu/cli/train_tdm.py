@@ -111,6 +111,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     tx_c = make_tx()
 
     # ---- data: prompts → embedding batches ----
+    uncond_pair = None  # (embed [L,D], mask [L]) — empty-prompt embedding
     emb_cache_path = os.environ.get("TDM_EMBEDDING_CACHE", "")
     if emb_cache_path and os.path.exists(emb_cache_path):
         cache = data_prompts.EmbeddingCache.load(emb_cache_path)
@@ -119,6 +120,11 @@ def main(argv: Optional[list[str]] = None) -> None:
             host_index=jax.process_index(), host_count=jax.process_count(),
         )
         get_batch = lambda: next(batches)
+        if cache.uncond_embed is not None:
+            uncond_pair = (
+                jnp.asarray(cache.uncond_embed, jnp.float32),
+                jnp.asarray(cache.uncond_mask, jnp.int32),
+            )
         logger.info("streaming %d cached embeddings", len(cache.prompts))
     else:
         # no cache: tokenize + (random-init unless provided) encoder would
@@ -267,7 +273,15 @@ def main(argv: Optional[list[str]] = None) -> None:
             jax.device_put(jnp.asarray(text_np), batch_sh),
             jax.device_put(jnp.asarray(mask_np, jnp.int32), batch_sh),
         )
-        uncond = (jnp.zeros_like(cond[0]), cond[1])
+        # CFG null branch: the precomputed empty-prompt T5 embedding when
+        # the cache carries it (src/main.py:416-431); zeros in smoke mode
+        if uncond_pair is not None:
+            uncond = (
+                jnp.broadcast_to(uncond_pair[0][None], cond[0].shape),
+                jnp.broadcast_to(uncond_pair[1][None], cond[1].shape),
+            )
+        else:
+            uncond = (jnp.zeros_like(cond[0]), cond[1])
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
         # tree is a jit parameter, not baked-in HLO constants

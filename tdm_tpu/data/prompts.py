@@ -116,10 +116,21 @@ class EmbeddingCache:
     frozen encoder never occupies training HBM; reference equivalent is the
     per-step no-grad T5 forward, `src/main.py:458-461`)."""
 
-    def __init__(self, embeds: np.ndarray, masks: np.ndarray, prompts: list[str]):
+    def __init__(
+        self,
+        embeds: np.ndarray,
+        masks: np.ndarray,
+        prompts: list[str],
+        uncond_embed: Optional[np.ndarray] = None,
+        uncond_mask: Optional[np.ndarray] = None,
+    ):
         self.embeds = embeds  # [N, L, D] (fp16/bf16-as-fp32 on disk)
         self.masks = masks  # [N, L]
         self.prompts = prompts
+        # empty-prompt embedding for the CFG unconditional branch (the
+        # reference precomputes this once, src/main.py:416-431)
+        self.uncond_embed = uncond_embed  # [L, D] or None
+        self.uncond_mask = uncond_mask  # [L] or None
 
     @staticmethod
     def build(
@@ -137,20 +148,34 @@ class EmbeddingCache:
             e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
             embeds.append(e[: len(chunk)].astype(np.float16))
             masks.append(np.asarray(mask)[: len(chunk)])
+        u_ids, u_mask = tokenizer([""] * batch_size, max_length=max_length)
+        u = np.asarray(encode_fn(np.asarray(u_ids), np.asarray(u_mask)))
         return EmbeddingCache(
-            np.concatenate(embeds), np.concatenate(masks), prompts
+            np.concatenate(embeds), np.concatenate(masks), prompts,
+            uncond_embed=u[0].astype(np.float16),
+            uncond_mask=np.asarray(u_mask)[0],
         )
 
     def save(self, path: str) -> None:
+        extra = {}
+        if self.uncond_embed is not None:
+            extra = {
+                "uncond_embed": self.uncond_embed,
+                "uncond_mask": self.uncond_mask,
+            }
         np.savez_compressed(
             path, embeds=self.embeds, masks=self.masks,
-            prompts=np.asarray(self.prompts, dtype=object),
+            prompts=np.asarray(self.prompts, dtype=object), **extra,
         )
 
     @staticmethod
     def load(path: str) -> "EmbeddingCache":
         z = np.load(path, allow_pickle=True)
-        return EmbeddingCache(z["embeds"], z["masks"], list(z["prompts"]))
+        return EmbeddingCache(
+            z["embeds"], z["masks"], list(z["prompts"]),
+            uncond_embed=z["uncond_embed"] if "uncond_embed" in z else None,
+            uncond_mask=z["uncond_mask"] if "uncond_mask" in z else None,
+        )
 
     def batches(
         self, batch_size: int, *, seed: int = 0,

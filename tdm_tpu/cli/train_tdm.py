@@ -36,6 +36,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
 
     cfg = cfg_lib.parse_args(argv)
+    if pmesh.maybe_initialize_distributed():
+        pass  # multi-host runtime up; process_index/count now reflect the pod
     if cfg.debug_nans:
         # the jax_debug_nans guardrail (SURVEY.md §5 'race detection' TPU
         # equivalent — esp. the transport-NaN class of bugs, §2 defect 6)

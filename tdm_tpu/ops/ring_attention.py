@@ -81,10 +81,15 @@ def ring_attention(
     else:
         bias = vary(jnp.zeros(k.shape[:1] + k.shape[2:3], jnp.float32))
 
+    # remat each hop: without it autodiff saves every hop's [S_loc, S_loc]
+    # logits (same total memory as monolithic attention, defeating the
+    # point); rematerializing keeps backward memory at one hop's worth
+    partial_fn = jax.checkpoint(_partial_attention, static_argnums=(4,))
+
     def step(_, carry):
         num, den, m_run, kv = carry
         k_i, v_i, bias_i = kv
-        out_i, m_i, l_i = _partial_attention(q, k_i, v_i, bias_i, scale)
+        out_i, m_i, l_i = partial_fn(q, k_i, v_i, bias_i, scale)
         m_new = jnp.maximum(m_run, m_i)
         w_run = jnp.exp(m_run - m_new)
         w_i = jnp.exp(m_i - m_new)

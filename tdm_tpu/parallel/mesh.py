@@ -30,6 +30,29 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host (pod / multi-slice) runtime init — the `accelerate launch
+    --num_processes=N` equivalent (reference `README.md:158-162`). On TPU
+    pods with the standard env (TPU_WORKER_HOSTNAMES etc.) a bare
+    `jax.distributed.initialize()` self-configures; for manual setups set
+    TDM_COORDINATOR (host:port), TDM_NUM_PROCESSES and TDM_PROCESS_ID.
+    Strictly opt-in (returns False otherwise): auto-detecting pod env vars
+    misfires on tunneled single-chip setups that still export them."""
+    import os
+
+    if os.environ.get("TDM_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["TDM_COORDINATOR"],
+            num_processes=int(os.environ["TDM_NUM_PROCESSES"]),
+            process_id=int(os.environ["TDM_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("TDM_MULTIHOST") == "1":
+        jax.distributed.initialize()  # pod env self-configures
+        return True
+    return False
+
+
 def make_mesh(
     n_data: Optional[int] = None, n_fsdp: int = 1, *, devices=None
 ) -> Mesh:

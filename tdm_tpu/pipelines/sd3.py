@@ -41,6 +41,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         tokenizers: Optional[dict] = None,
         flow_shift: float = 6.0,  # README recipe value; knob range 1-6
         max_t5_len: int = 256,
+        max_clip_len: int = 77,
     ):
         super().__init__()
         self.transformer = transformer
@@ -54,6 +55,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         self.tokenizers = tokenizers or {}
         self.flow_shift = flow_shift
         self.max_t5_len = max_t5_len
+        self.max_clip_len = max_clip_len
 
     def encode_prompt(self, prompts: list[str]) -> tuple[jnp.ndarray, jnp.ndarray]:
         """→ (context [B, L, 4096], pooled [B, 2048]); needs all three
@@ -69,7 +71,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         seqs, pooleds = [], []
         for name in ("clip_l", "clip_g"):
             model, params = self.text_encoders[name]
-            ids, _ = self.tokenizers[name](prompts, max_length=77)
+            ids, _ = self.tokenizers[name](prompts, max_length=self.max_clip_len)
             out = model.apply({"params": params}, jnp.asarray(ids))
             # SD3 reads the PENULTIMATE hidden layer for the sequence path
             seqs.append(out.hidden_states[-2])

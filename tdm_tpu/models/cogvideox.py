@@ -63,6 +63,13 @@ class CogVideoXConfig:
         return self.num_heads * self.head_dim  # 1920 (2B)
 
     @staticmethod
+    def cogvideox_5b() -> "CogVideoXConfig":
+        """THUDM/CogVideoX-5b: 42 layers, 48 heads × 64, 3D RoPE."""
+        return CogVideoXConfig(
+            num_layers=42, num_heads=48, head_dim=64, use_rotary=True
+        )
+
+    @staticmethod
     def tiny(use_rotary: bool = False) -> "CogVideoXConfig":
         return CogVideoXConfig(
             num_layers=2, num_heads=2, head_dim=16, text_dim=32,

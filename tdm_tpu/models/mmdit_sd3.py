@@ -59,6 +59,20 @@ class MMDiTConfig:
         return self.num_heads * self.head_dim  # 1536
 
     @staticmethod
+    def sd35_medium() -> "MMDiTConfig":
+        """SD3.5-Medium: 24 layers like 3.0 but with RMS qk-norm (and dual
+        attention on some blocks in the HF impl — not modeled; the TDM
+        recipes target SD3-Medium, README.md:44)."""
+        return MMDiTConfig(qk_norm="rms")
+
+    @staticmethod
+    def sd35_large() -> "MMDiTConfig":
+        """SD3.5-Large: 38 layers, 38 heads × 64 (hidden 2432), RMS qk-norm."""
+        return MMDiTConfig(
+            num_layers=38, num_heads=38, head_dim=64, qk_norm="rms"
+        )
+
+    @staticmethod
     def tiny() -> "MMDiTConfig":
         return MMDiTConfig(
             sample_size=8,

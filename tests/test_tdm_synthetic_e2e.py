@@ -159,3 +159,50 @@ def test_tdm_distillation_improves_4nfe(trained_teacher):
     assert gap_after < 0.6 * gap_before, (
         f"gap closed too little: {gap_before:.3f} → {gap_after:.3f}"
     )
+
+
+def test_lora_mode_distillation_also_improves(trained_teacher):
+    """The released-artifact pathway: LoRA-mode TDM (adapter factors only,
+    frozen base) must also cut the 4-NFE error on the ring task."""
+    from tdm_tpu.lora import LoRA, init_lora, merge, wrap_denoise_fn
+
+    model, teacher, schedule, denoise_fn = trained_teacher
+    n = 512
+    key = jax.random.PRNGKey(43)
+    err_before = _radius_error(
+        _sample(denoise_fn, teacher, schedule, key, n, 4)
+    )
+
+    # adapt every Dense kernel (the toy MLP has no attention-named modules)
+    lora = init_lora(
+        teacher, jax.random.PRNGKey(5), rank=8,
+        target=lambda path, kernel: kernel.ndim == 2,
+    )
+    assert lora.alpha, "no adapted modules"
+    student_fn = wrap_denoise_fn(denoise_fn, teacher, lora)
+
+    config = tdm.TDMConfig(
+        total_steps=900, num_steps=4, cfg=1.0, use_huber=True,
+        use_separate=True, student_cfg_in_loss=False,
+    )
+    tx = topt.make_optimizer(1e-3, weight_decay=0.0)
+    step = tdm.build_train_step(
+        denoise_fn, teacher, schedule, config, tx, tx,
+        sample_shape=SHAPE, student_denoise_fn=student_fn,
+    )
+    state = tdm.init_state(lora.params, teacher, tx, tx)
+    jit_step = jax.jit(step)
+    key_t = jax.random.PRNGKey(9)
+    cond = jnp.ones((128, 1))
+    for _ in range(400):
+        key_t, ks = jax.random.split(key_t)
+        state, metrics = jit_step(state, ks, cond, jnp.zeros_like(cond), teacher)
+    assert np.isfinite(float(metrics.loss_student))
+
+    merged = merge(teacher, LoRA(params=state.student, alpha=lora.alpha))
+    err_after = _radius_error(
+        _sample(denoise_fn, merged, schedule, key, n, 4)
+    )
+    assert err_after < err_before - 0.02, (
+        f"LoRA-mode no improvement: {err_before:.3f} -> {err_after:.3f}"
+    )

@@ -152,14 +152,17 @@ def _flash_fwd_kernel(
 
 
 def _pick_block(seq_len: int, requested: int) -> int:
-    """Pad-minimizing block size: among 128-multiples ≤ requested, choose
-    the one whose grid pads `seq_len` least (tie → larger block). SD3's
-    S=4429 pads to 5120 with 1024-blocks but only 4480 with 896 — 23% less
-    work area (measured 14.0 → 13.3 ms)."""
+    """Pad-minimizing block size: among 128-multiples in [512, requested]
+    (small blocks pad less but waste per-block efficiency — unbounded
+    search degenerates to 128 at long S), choose the one whose grid pads
+    `seq_len` least (tie → larger block). SD3's S=4429 pads to 5120 with
+    1024-blocks but only 4480 with 896 — 23% less work area (measured
+    14.0 → 13.3 ms)."""
     requested = min(requested, max(128, 1 << (seq_len - 1).bit_length()))
+    floor = min(512, requested)
     best = requested
     best_pad = -(-seq_len // requested) * requested
-    for b in range(requested, 127, -128):
+    for b in range(requested, floor - 1, -128):
         padded = -(-seq_len // b) * b
         if padded < best_pad:
             best, best_pad = b, padded

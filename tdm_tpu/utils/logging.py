@@ -45,6 +45,7 @@ class MetricLogger:
         if not enabled:
             return
         os.makedirs(logdir, exist_ok=True)
+        self._wandb = None
         if report_to in ("tensorboard", "all"):
             try:
                 from tensorboardX import SummaryWriter
@@ -52,6 +53,15 @@ class MetricLogger:
                 self._tb = SummaryWriter(logdir)
             except Exception:  # tensorboardX optional
                 pass
+        if report_to in ("wandb", "all"):
+            try:  # wandb optional (reference --report_to wandb)
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(dir=logdir, project=os.environ.get(
+                    "WANDB_PROJECT", "tdm-tpu"))
+            except Exception:
+                self._wandb = None
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def log(self, metrics: dict, step: int) -> None:
@@ -61,6 +71,8 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         if self._jsonl is not None:
             self._jsonl.write(
                 json.dumps({"step": step, "ts": time.time(), **scalars}) + "\n"

@@ -123,6 +123,12 @@ def sample_segment_and_t(
 
     separate: t_f ~ U[level(s), level(s-1))   (README mode 1)
     joint:    t_f ~ U[level(s), T-1)          (README mode 2)
+
+    For mode 2 the reference SUGGESTS (README.md:182) optionally
+    conditioning the fake-score net on the step index s; it also notes TDM
+    works without it. Not implemented here (the denoiser conditioning
+    signature is model-specific); callers who want it can fold s into the
+    `cond` pytree of a custom denoise_fn.
     """
     levels = segment_levels(config)
     k = config.num_steps

@@ -111,3 +111,16 @@ def test_flash_backward_multiblock_masked():
             np.asarray(ga), np.asarray(gb), atol=2e-4, rtol=2e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_pick_block_rule():
+    """Pad-minimizing block selection: floor 512 (unbounded search
+    degenerates to 128-blocks at long S — 6x slowdown, caught by the
+    video bench), prefers less padding, shrinks for short sequences."""
+    from tdm_tpu.ops.attention import _pick_block
+
+    assert _pick_block(4429, 1024) == 896  # pads 4480, not 5120
+    assert _pick_block(17776, 1024) >= 512  # the regression guard
+    assert _pick_block(1024, 1024) == 1024  # exact fit
+    assert _pick_block(128, 1024) == 128  # short seq shrinks
+    assert _pick_block(4096, 1024) == 1024  # exact fit at requested

@@ -95,3 +95,91 @@ def test_validation_grid_and_png(tmp_path):
     assert os.path.exists(tmp_path / "validation_step50_1nfe.png")
     # rollout recovered the target (grid ≈ 0.25 → uint8 ≈ 64)
     assert abs(int(grids[4].mean()) - 64) <= 2
+
+
+def test_log_validation_compare_grids(tmp_path):
+    """Student-vs-teacher comparison grids (`log_validation`,
+    reference src/training.py:64-83) write both PNGs deterministically."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.train import validation
+
+    schedule = sched.ddpm_linear()
+    x0_s = jnp.full((2, 3, 8, 8), 0.3)
+    x0_t = jnp.full((2, 3, 8, 8), 0.7)
+
+    def denoise_fn(params, x, t, cond):
+        target = x0_s if params == "student" else x0_t
+        a, s = sched.alpha_sigma(schedule, t, x.ndim)
+        return (x - a * target) / jnp.maximum(s, 1e-4)
+
+    grids = validation.log_validation(
+        denoise_fn, "student", "teacher", schedule,
+        cond=jnp.ones((2, 1)), uncond=jnp.zeros((2, 1)),
+        decode_fn=lambda z: z, output_dir=str(tmp_path), step=100,
+        sample_shape=(3, 8, 8), teacher_steps=8, teacher_cfg=2.0,
+    )
+    assert set(grids) == {"student", "teacher"}
+    assert os.path.exists(tmp_path / "compare_step100_student.png")
+    assert os.path.exists(tmp_path / "compare_step100_teacher.png")
+    # the two runs recover their respective targets
+    assert abs(int(grids["student"].mean()) - int(0.3 * 255)) <= 3
+    assert abs(int(grids["teacher"].mean()) - int(0.7 * 255)) <= 3
+
+
+def test_save_video_gif(tmp_path):
+    from tdm_tpu.train.validation import save_video_gif
+
+    frames = np.linspace(0, 1, 6)[:, None, None, None] * np.ones((6, 8, 8, 3))
+    p = str(tmp_path / "v.gif")
+    save_video_gif(p, frames.astype(np.float32), fps=8)
+    from PIL import Image
+
+    im = Image.open(p)
+    assert im.n_frames == 6
+
+
+def test_cogvideox_encode_prompt():
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.data.tokenizer import HashTokenizer
+    from tdm_tpu.models import cogvideox as cog, t5 as t5_mod
+    from tdm_tpu.pipelines import CogVideoXPipeline
+
+    ccfg = cog.CogVideoXConfig.tiny()
+    tcfg = t5_mod.T5Config(
+        vocab_size=128, d_model=ccfg.text_dim, d_kv=8, num_heads=4,
+        d_ff=64, num_layers=2, dtype=jnp.float32, attn_impl="xla",
+    )
+    t5 = t5_mod.T5Encoder(cfg=tcfg)
+    pt5 = t5.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, ccfg.max_text_len), jnp.int32),
+        jnp.ones((1, ccfg.max_text_len), jnp.int32),
+    )["params"]
+    model = cog.CogVideoXTransformer3D(cfg=ccfg)
+    lat = jnp.zeros((1, 16, ccfg.sample_frames, ccfg.sample_h, ccfg.sample_w))
+    params = model.init(
+        jax.random.PRNGKey(1), lat, jnp.zeros((1,)),
+        jnp.zeros((1, ccfg.max_text_len, ccfg.text_dim)),
+    )["params"]
+    from tdm_tpu.models import vae3d
+
+    vcfg = vae3d.VAE3DConfig.tiny()  # factors 2/2 match the dims below
+    pipe = CogVideoXPipeline(
+        model, params, text_encoder=t5, text_encoder_params=pt5,
+        tokenizer=HashTokenizer(120), vae_cfg=vcfg,
+    )
+    emb = pipe.encode_prompt(["a panda riding a bike"])
+    assert emb.shape == (1, ccfg.max_text_len, ccfg.text_dim)
+    out = pipe(
+        ["a panda riding a bike"], num_inference_steps=4,
+        num_frames=1 + (ccfg.sample_frames - 1) * vcfg.temporal_factor,
+        height=ccfg.sample_h * vcfg.spatial_factor,
+        width=ccfg.sample_w * vcfg.spatial_factor,
+        seed=8888, output_type="latent",
+    )
+    assert out.latents.shape == lat.shape

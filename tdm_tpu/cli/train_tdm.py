@@ -16,6 +16,7 @@ Pipeline per §3.1 with the §2 defects fixed (see train/tdm.py):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 from typing import Optional
@@ -63,6 +64,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     # ---- model (PixArt-α, the demo's training model) ----
     tiny = os.environ.get("TDM_TINY_MODEL", "") == "1"  # smoke-test escape
     mcfg = pixart.PixArtConfig.tiny() if tiny else pixart.PixArtConfig()
+    if cfg.gradient_checkpointing:
+        # --gradient_checkpointing → per-block remat, the torch
+        # unet.enable_gradient_checkpointing() (reference src/main.py:191-193)
+        mcfg = dataclasses.replace(mcfg, remat=True)
     model = pixart.PixArtTransformer2D(cfg=mcfg)
     lat = mcfg.sample_size
     sample_shape = (mcfg.in_channels, lat, lat)
@@ -101,12 +106,17 @@ def main(argv: Optional[list[str]] = None) -> None:
         warmup_steps=cfg.lr_warmup_steps,
         total_steps=n_total_steps,
     )
+    # --gradient_accumulation_steps: optax.MultiSteps inside the jitted step
+    # (the accelerator.accumulate equivalent, src/main.py:94,441) — grads
+    # average over `accum` micro-steps, the optimizer fires on the last
+    accum = max(cfg.gradient_accumulation_steps, 1)
+
     def make_tx():
         # --use_8bit_adam → blockwise-int8 moments (bitsandbytes parity)
         return topt.make_optimizer(
             lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
-            eight_bit=cfg.use_8bit_adam,
+            eight_bit=cfg.use_8bit_adam, accumulation_steps=accum,
         )
 
     tx_s = make_tx()
@@ -183,6 +193,11 @@ def main(argv: Optional[list[str]] = None) -> None:
         cfg=cfg.cfg, total_steps=cfg.total_steps, num_steps=cfg.num_steps,
         use_huber=cfg.use_huber, use_separate=cfg.use_separate,
         loss_mode=cfg.loss_mode, critic_updates=cfg.critic_updates,
+        # EMA runs every micro-step but params are bit-constant within an
+        # accumulation window, so d^accum reproduces exactly one 0.9999
+        # decay per OPTIMIZER step (diffusers EMAModel steps once per
+        # optimizer step, src/main.py:553-554)
+        ema_decay=0.9999 ** (1.0 / accum),
     )
     schedule = sched.ddpm_linear()
     student_fn = None
@@ -196,10 +211,17 @@ def main(argv: Optional[list[str]] = None) -> None:
             teacher, jax.random.PRNGKey((cfg.seed or 0) + 99),
             rank=cfg.train_lora_rank,
         )
-        student_fn = lora_lib.wrap_denoise_fn(denoise_fn, teacher, lora_template)
+        student_fn = lora_lib.wrap_denoise_fn(denoise_fn, lora_template)
         student_init = lora_template.params
         logger.info("LoRA training: rank %d, %d adapted modules",
                     cfg.train_lora_rank, len(lora_template.alpha))
+    # eager 4-arg view for validation grids (not jitted, so binding the
+    # base here is harmless; the jitted step threads the base as an arg)
+    eval_denoise_fn = (
+        (lambda p, x, t, c: student_fn(p, x, t, c, teacher))
+        if student_fn is not None
+        else denoise_fn
+    )
     step_fn = tdm.build_train_step(
         denoise_fn, teacher, schedule, tdm_cfg, tx_s, tx_c,
         sample_shape=sample_shape, student_denoise_fn=student_fn,
@@ -267,8 +289,14 @@ def main(argv: Optional[list[str]] = None) -> None:
             lambda z: dec.apply({"params": vparams}, z / vcfg.scaling_factor)
         )
 
-    # ---- loop (per-optimizer-step accounting — defect §2.5 fixed) ----
-    rng = jax.random.PRNGKey((cfg.seed or 0) + jax.process_index() + 1)
+    # ---- loop (per-OPTIMIZER-step accounting — defect §2.5 fixed; with
+    # --gradient_accumulation_steps N, N micro-steps advance global_step
+    # once, matching accelerate's sync_gradients counting) ----
+    # One SHARED key across hosts: replicated jit inputs must be identical
+    # on every process; per-sample randomness comes from the batch axis
+    # inside the step (all draws are batch-shaped from this one key).
+    rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
+    micro_step = 0
     while global_step < n_total_steps:
         text_np, mask_np = get_batch()
         cond = (
@@ -288,6 +316,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
         # tree is a jit parameter, not baked-in HLO constants
         state, metrics = train_step(state, step_rng, cond, uncond, teacher)
+        micro_step += 1
+        if micro_step % accum != 0:
+            continue  # mid-accumulation: params bit-unchanged, no cadence
         global_step += 1
 
         dt = timer.tick()
@@ -300,18 +331,19 @@ def main(argv: Optional[list[str]] = None) -> None:
                 "step %d loss_student %.4f loss_critic %.4f",
                 global_step, m["loss_student"], m["loss_critic"],
             )
-        if (
-            decode_fn is not None
-            and main_process
-            and global_step % cfg.validation_steps == 0
-        ):
+        if decode_fn is not None and global_step % cfg.validation_steps == 0:
             # validate the EMA weights when tracked (diffusers EMAModel
-            # copy-to semantics, src/main.py:553-554)
+            # copy-to semantics, src/main.py:553-554). Runs on ALL
+            # processes (resharding fsdp-sharded params to replicated is a
+            # collective — gating it on process 0 would deadlock); only
+            # the file/tracker writes are main-process-only.
             val_params = state.ema if cfg.use_ema else state.student
+            if cfg.fsdp > 1:
+                val_params = jax.device_put(val_params, pmesh.replicated(mesh))
             grids = validation.save_validation_images(
-                student_fn or denoise_fn, val_params, schedule, val_cond,
+                eval_denoise_fn, val_params, schedule, val_cond,
                 val_noise, decode_fn, output_dir=out_dir, step=global_step,
-                total_steps=cfg.total_steps,
+                total_steps=cfg.total_steps, write=main_process,
             )
             for k_nfe, grid in grids.items():
                 metrics_log.log_image(
@@ -337,12 +369,23 @@ def main(argv: Optional[list[str]] = None) -> None:
     mgr.wait()
 
     # ---- final artifacts: student weights + extracted kohya LoRA (the
-    # reference's released-checkpoint form, README.md:140-144) ----
-    if main_process:
-        from tdm_tpu.io import params as params_io
-        from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
+    # reference's released-checkpoint form, README.md:140-144). The
+    # replicate-gather below is a collective over the mesh, so it runs on
+    # every process; only the file writes are main-process-gated. ----
+    from tdm_tpu.io import params as params_io
+    from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
 
-        final = state.ema if cfg.use_ema else state.student
+    final = state.ema if cfg.use_ema else state.student
+    if cfg.fsdp > 1:
+        # gather shards → every host holds the full tree; pull to host so
+        # the (main-process-only) merge/SVD below never touches the mesh
+        final = jax.tree.map(
+            np.asarray, jax.device_put(final, pmesh.replicated(mesh))
+        )
+        teacher = jax.tree.map(
+            np.asarray, jax.device_put(teacher, pmesh.replicated(mesh))
+        )
+    if main_process:
         if lora_template is not None:
             # LoRA mode: the trained factors ARE the artifact; also write
             # the merged student for direct pipeline use

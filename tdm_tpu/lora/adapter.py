@@ -18,9 +18,9 @@ factors and merging is one fused tree-wide update
 executed on-device (a handful of [in, r]×[r, out] matmuls + adds, microseconds
 for a 0.6B model). Inference merges once at load; the `set_adapters` scale
 knob re-merges from the pristine base (cheap, still on-device). LoRA
-*training* closes over the base params and merges inside the jitted step, so
-gradients flow only into the (a, b) leaves — the TPU equivalent of peft's
-trainable-adapter wrapping.
+*training* takes the frozen base as a traced argument and merges inside the
+jitted step, so gradients flow only into the (a, b) leaves — the TPU
+equivalent of peft's trainable-adapter wrapping.
 
 Conventions:
   * Factors follow the Flax kernel layout: for a Dense kernel [in, out],
@@ -210,15 +210,21 @@ def extract_lora(
     return LoRA(params=_unflatten(entries), alpha=tuple(alphas))
 
 
-def wrap_denoise_fn(denoise_fn, base_params: Any, lora_template: LoRA, scale: float = 1.0):
-    """LoRA-training adapter: returns fn(lora_params, x, t, cond) that merges
-    `lora_params` into the frozen base inside the traced step, so only the
-    (a, b) leaves carry gradients — the TPU equivalent of peft's
-    get_peft_model over a frozen transformer (`src/main.py:43`)."""
-    frozen = jax.lax.stop_gradient(base_params)
+def wrap_denoise_fn(denoise_fn, lora_template: LoRA, scale: float = 1.0):
+    """LoRA-training adapter: returns fn(lora_params, x, t, cond, base) that
+    merges `lora_params` into the frozen `base` inside the traced step, so
+    only the (a, b) leaves carry gradients — the TPU equivalent of peft's
+    get_peft_model over a frozen transformer (`src/main.py:43`).
+
+    The base tree is a traced ARGUMENT, never a closure: a closed-over
+    full-size param tree would be baked into the jitted step as HLO
+    constants (gigabytes of literals → multi-minute compiles; the repo's
+    params-are-arguments invariant). `train.tdm.build_train_step` threads
+    its `teacher` argument through as the base."""
     alpha = lora_template.alpha
 
-    def fn(lora_params, x, t, cond):
+    def fn(lora_params, x, t, cond, base):
+        frozen = jax.lax.stop_gradient(base)
         merged = merge(frozen, LoRA(params=lora_params, alpha=alpha), scale)
         return denoise_fn(merged, x, t, cond)
 

@@ -80,11 +80,19 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     low_precision_moments: bool = False,
     eight_bit: bool = False,
+    accumulation_steps: int = 1,
 ) -> optax.GradientTransformation:
     """clip(1.0) → AdamW, the reference's update rule (`src/main.py:206-224,
     537`). `low_precision_moments` stores both Adam moments in bf16;
     `eight_bit` uses the blockwise-int8 state (`adam8bit`) — the true
-    bitsandbytes AdamW8bit equivalent."""
+    bitsandbytes AdamW8bit equivalent.
+
+    `accumulation_steps > 1` wraps the chain in `optax.MultiSteps` — the
+    `accelerator.accumulate` equivalent (reference `src/main.py:94,441`):
+    grads are averaged over N calls and the inner update (incl. the clip,
+    applied to the MEAN grad like DDP+accumulate) fires on every N-th; the
+    other calls return exact zeros so params are bit-unchanged between
+    optimizer steps, all inside the one jitted TDM step."""
     if eight_bit:
         adam = adam8bit(
             lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
@@ -98,9 +106,14 @@ def make_optimizer(
             weight_decay=weight_decay,
             mu_dtype=jnp.bfloat16 if low_precision_moments else None,
         )
-    if max_grad_norm is None:
-        return adam
-    return optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
+    tx = (
+        adam
+        if max_grad_norm is None
+        else optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
+    )
+    if accumulation_steps > 1:
+        return optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx
 
 
 class _Q8Moment(NamedTuple):

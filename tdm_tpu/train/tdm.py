@@ -161,7 +161,10 @@ def build_train_step(
     `student_denoise_fn`: override for the student's forward when its
     param tree differs from teacher/critic — e.g. LoRA training, where
     state.student holds only adapter factors merged into the frozen base
-    inside the traced step (`lora.wrap_denoise_fn`).
+    inside the traced step (`lora.wrap_denoise_fn`). Signature
+    `fn(params, x, t, cond, base)`: the step's `teacher` ARGUMENT is
+    threaded through as the frozen base so the full-size tree is never
+    closed over (closures become HLO constants).
 
     cond/uncond are the conditioning pytrees (text embeddings + mask).
     The frozen teacher (`src/main.py:370-371`) defaults to the tree passed
@@ -172,13 +175,19 @@ def build_train_step(
     """
     grid = sched.fewstep_grid(config.total_steps, config.num_steps)
     levels = segment_levels(config)
-    student_fn = student_denoise_fn if student_denoise_fn is not None else denoise_fn
 
     def train_step(
         state: TrainState, rng: jax.Array, cond: Any, uncond: Any,
         teacher: Any = None,
     ):
         teacher = teacher_params if teacher is None else teacher
+        if student_denoise_fn is None:
+            student_fn = denoise_fn
+        else:
+            # LoRA-style override: base = the teacher tree (already a jit
+            # argument), so no full-size tree is ever baked into the HLO
+            def student_fn(p, x, t, c):
+                return student_denoise_fn(p, x, t, c, teacher)
         batch = jax.tree.leaves(cond)[0].shape[0]
         r_noise, r_seg, r_fresh = jax.random.split(rng, 3)
 

@@ -73,13 +73,17 @@ def save_validation_images(
     total_steps: int = 900,
     steps_list: tuple = (4, 1),
     prefix: str = "validation",
+    write: bool = True,
 ) -> dict[int, np.ndarray]:
     """K-step rollouts on fixed (cond, noise) → decoded grids on disk.
     Returns {K: grid array} so trackers can log them too.
 
     denoise_fn(params, x, t, cond) is the training-step contract;
-    decode_fn(latents) → [B, 3, H, W]-ish in [0,1]."""
-    os.makedirs(output_dir, exist_ok=True)
+    decode_fn(latents) → [B, 3, H, W]-ish in [0,1]. `write=False` skips the
+    PNG dump (multi-host: every process computes — the gathers are
+    collective — but only rank 0 writes, `src/training.py:118-121`)."""
+    if write:
+        os.makedirs(output_dir, exist_ok=True)
     grids: dict[int, np.ndarray] = {}
     for k in steps_list:
         grid_t = sched.fewstep_grid(total_steps, k)
@@ -90,9 +94,11 @@ def save_validation_images(
         decoded = np.asarray(decode_fn(latents), np.float32)
         imgs = np.clip(np.transpose(decoded, (0, 2, 3, 1)), 0, 1)
         grid = make_grid(imgs)
-        save_png(
-            os.path.join(output_dir, f"{prefix}_step{step}_{k}nfe.png"), grid
-        )
+        if write:
+            save_png(
+                os.path.join(output_dir, f"{prefix}_step{step}_{k}nfe.png"),
+                grid,
+            )
         grids[k] = grid
     return grids
 

@@ -49,6 +49,40 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert any(d.endswith("_5") or d.endswith("-5") or "5" in d for d in ckpts2)
 
 
+def test_train_cli_accumulation_and_remat(tmp_path, monkeypatch):
+    """--gradient_accumulation_steps + --gradient_checkpointing exercised
+    end-to-end: N micro-batches per optimizer step, remat'd blocks.
+    global_step counts OPTIMIZER steps (accelerate sync_gradients
+    semantics), so metrics/checkpoints land at the same steps as accum=1."""
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "acc")
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--gradient_accumulation_steps", "2",
+        "--gradient_checkpointing",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint")]
+    assert ckpts, "no checkpoint written at optimizer step 2"
+    metrics_file = os.path.join(out_dir, "logs", "metrics.jsonl")
+    with open(metrics_file) as f:
+        rows = [json.loads(line) for line in f]
+    # steps logged are optimizer steps (1..2), not micro steps (1..4)
+    assert rows and max(r["step"] for r in rows) <= 2
+
+
 def test_parse_args_reference_parity():
     """The reference launch flags (README.md:163-178) parse unchanged."""
     from tdm_tpu.utils.config import parse_args

@@ -127,10 +127,10 @@ def test_lora_training_grads_flow_only_into_factors(tiny_model):
         te, m = cond
         return pixart.epsilon(model.apply({"params": p}, x, tt, te, m))
 
-    fn = wrap_denoise_fn(denoise_fn, params, lora)
+    fn = wrap_denoise_fn(denoise_fn, lora)
 
     def loss(lora_params):
-        out = fn(lora_params, latent, t, (text, mask))
+        out = fn(lora_params, latent, t, (text, mask), params)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
     grads = jax.grad(loss)(lora.params)

@@ -179,7 +179,7 @@ def test_lora_mode_distillation_also_improves(trained_teacher):
         target=lambda path, kernel: kernel.ndim == 2,
     )
     assert lora.alpha, "no adapted modules"
-    student_fn = wrap_denoise_fn(denoise_fn, teacher, lora)
+    student_fn = wrap_denoise_fn(denoise_fn, lora)
 
     config = tdm.TDMConfig(
         total_steps=900, num_steps=4, cfg=1.0, use_huber=True,

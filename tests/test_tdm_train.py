@@ -169,7 +169,7 @@ def test_lora_mode_training(tiny_setup):
 
     cfg, model, teacher, denoise_fn = tiny_setup
     lora = init_lora(teacher, jax.random.PRNGKey(5), rank=2)
-    student_fn = wrap_denoise_fn(denoise_fn, teacher, lora)
+    student_fn = wrap_denoise_fn(denoise_fn, lora)
 
     config = tdm.TDMConfig(total_steps=900, num_steps=4, cfg=2.0)
     tx = topt.make_optimizer(1e-3)

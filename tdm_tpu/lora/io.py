@@ -179,7 +179,16 @@ def load_lora(
                     raise ValueError(
                         f"LoRA file {path}: missing factor {which} at {p}"
                     )
-                entry[which] = np.stack([v[i] for i in sorted(v)])
+                idx = sorted(v)
+                # a gap (missing layer) would silently misalign every
+                # subsequent layer in the stacked [L, ...] factor — fail loud
+                if idx != list(range(idx[-1] + 1)):
+                    missing = sorted(set(range(idx[-1] + 1)) - set(idx))
+                    raise ValueError(
+                        f"LoRA file {path}: non-contiguous layer indices for "
+                        f"{path_str(p)}.{which} — missing layers {missing}"
+                    )
+                entry[which] = np.stack([v[i] for i in idx])
         final[p] = entry
     alpha = tuple(
         (path_str(p), alphas.get(path_str(p), float(final[p]["a"].shape[-1])))

@@ -86,9 +86,14 @@ def _xla_attention(q, k, v, bias, scale):
     )
     logits = logits * scale + bias[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum(
+    out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(dtype), v, preferred_element_type=jnp.float32
-    ).astype(dtype)
+    )
+    # batch rows with EVERY key masked output 0 (softmax of all -1e30 would
+    # be a uniform average of masked V rows) — same convention as the flash
+    # and ring kernels, e.g. empty-prompt cross-attention
+    valid = jnp.any(bias > -1e29, axis=-1)  # [B]
+    return jnp.where(valid[:, None, None, None], out, 0.0).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +145,21 @@ def _flash_fwd_kernel(
 
     @pl.when(kj == pl.num_programs(2) - 1)
     def _finish():
-        # all-masked rows (l≈0, e.g. fully padded queries) produce 0 not NaN
+        # rows that never saw an unmasked key (running max still ≈ -1e30:
+        # empty-prompt cross-attention, fully padded keys) output 0 — NOT
+        # the uniform average of masked V rows a plain softmax would give
         l = l_i[:, :1]
+        m = m_i[:, :1]
+        valid = m > -1e29
         denom = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc[:] / denom).astype(o_ref.dtype)
+        o_ref[0, 0] = jnp.where(valid, acc[:] / denom, 0.0).astype(o_ref.dtype)
         if with_lse:
             # logsumexp per row for the backward pass; +1e30 sentinel on
-            # all-masked rows makes exp(s - lse) = 0 there
-            lse = jnp.where(l == 0.0, 1e30, m_i[:, :1] + jnp.log(denom))
+            # all-masked rows makes exp(s - lse) = 0 there (no grads leak
+            # through masked rows)
+            lse = jnp.where(
+                valid & (l > 0.0), m + jnp.log(denom), 1e30
+            )
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -289,7 +301,12 @@ def _flash_fwd_res(
     else:
         lse = None
 
-    return out[:, :, :sq, :d], (q, k, v, bias, out, lse)
+    # residual saves the PRE-SCALED q (not the original): the backward
+    # kernels then recompute logits bit-identical to the forward's, so
+    # p = exp(s − lse) renormalizes exactly against the saved lse (the
+    # bf16 rounding of q·scale would otherwise make fwd/bwd softmax
+    # weights systematically differ)
+    return out[:, :, :sq, :d], (q_scaled, k, v, bias, out, lse)
 
 
 # ---------------------------------------------------------------------------
@@ -302,18 +319,20 @@ def _flash_bwd_dq_kernel(
     *, scale
 ):
     """Grid (b·h, q-block, k-block): accumulate dq over k-blocks.
-    dS = P ∘ (dO·Vᵀ − Δ);  dQ = scale · dS·K  with P = exp(S − lse)."""
+    dS = P ∘ (dO·Vᵀ − Δ);  dQ = scale · dS·K  with P = exp(S − lse).
+    q_ref holds the forward's PRE-SCALED q, so s here is bit-identical to
+    the forward logits and p renormalizes exactly against the saved lse."""
     kj = pl.program_id(2)
 
     @pl.when(kj == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[0, 0]
+    q = q_ref[0, 0]  # pre-scaled
     kb = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias_ref[0]
+    ) + bias_ref[0]
     p = jnp.exp(s - lse_ref[0, 0][:, :1])
     dp = jax.lax.dot_general(
         do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -335,7 +354,9 @@ def _flash_bwd_dkv_kernel(
     dk_ref, dv_ref, acc_dk, acc_dv, *, scale
 ):
     """Grid (b·h, k-block, q-block): accumulate dk/dv over q-blocks.
-    dV = Pᵀ·dO;  dK = scale · dSᵀ·Q."""
+    dV = Pᵀ·dO;  dK = scale·dSᵀ·Q = dSᵀ·Q_scaled (q_ref is the forward's
+    pre-scaled q, so the scale factor is already folded in and the logits
+    match the forward bit-for-bit)."""
     qi = pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -343,11 +364,11 @@ def _flash_bwd_dkv_kernel(
         acc_dk[:] = jnp.zeros_like(acc_dk)
         acc_dv[:] = jnp.zeros_like(acc_dv)
 
-    q = q_ref[0, 0]
+    q = q_ref[0, 0]  # pre-scaled
     kb = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias_ref[0]
+    ) + bias_ref[0]
     p = jnp.exp(s - lse_ref[0, 0][:, :1])  # [block_q, block_k]
     do = do_ref[0, 0]
     acc_dv[:] += jax.lax.dot_general(
@@ -359,7 +380,8 @@ def _flash_bwd_dkv_kernel(
         preferred_element_type=jnp.float32,
     )
     ds = p * (dp - delta_ref[0, 0][:, :1])
-    acc_dk[:] += scale * jax.lax.dot_general(
+    # no extra scale: q is pre-scaled, dK = dSᵀ·(scale·Q)
+    acc_dk[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -371,6 +393,9 @@ def _flash_bwd_dkv_kernel(
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
+    # q here is the forward's PRE-SCALED q (see _flash_fwd_res residual
+    # note); the kernels fold that into the logits and dk math, while dq
+    # still multiplies by `scale` to produce the grad w.r.t. the original q
     q, k, v, bias, out_p, lse = residuals
     b, h, sq, d = q.shape
     sk = k.shape[2]

@@ -102,7 +102,12 @@ def ring_attention(
     num0 = vary(jnp.zeros((b, h, s_loc, d), jnp.float32))
     den0 = vary(jnp.zeros((b, h, s_loc, 1), jnp.float32))
     m0 = vary(jnp.full((b, h, s_loc, 1), -1e30, jnp.float32))
-    num, den, _, _ = jax.lax.fori_loop(
+    num, den, m_fin, _ = jax.lax.fori_loop(
         0, n, step, (num0, den0, m0, (k, v, bias))
     )
-    return (num / jnp.maximum(den, 1e-30)).astype(q.dtype)
+    out = num / jnp.maximum(den, 1e-30)
+    # rows whose keys are masked on EVERY hop never see a finite logit
+    # (running max stays ≈ -1e30): output 0, matching the flash kernel's
+    # l == 0 handling — not a uniform average of masked V rows
+    out = jnp.where(m_fin > -1e29, out, 0.0)
+    return out.astype(q.dtype)

@@ -113,6 +113,33 @@ def test_flash_backward_multiblock_masked():
         )
 
 
+def test_all_masked_rows_output_zero_all_impls():
+    """A batch row whose every key is masked (empty-prompt cross-attention)
+    outputs 0 in BOTH impls — not a uniform average of masked V rows — and
+    leaks no gradients."""
+    b, h, sq, sk, d = 2, 2, 64, 64, 32
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk, s in zip(keys, [sq, sk, sk]))
+    g = _rand(keys[3], (b, h, sq, d))
+    mask = jnp.zeros((b, sk), jnp.int32).at[0, :].set(1)  # row 1: all masked
+
+    for impl in ("xla", "pallas"):
+        out = attention(q, k, v, mask, impl=impl, interpret=True)
+        assert float(jnp.abs(out[1]).max()) == 0.0, impl
+        # row 0 unchanged
+        ref = attention(q[:1], k[:1], v[:1], impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5, rtol=2e-5
+        )
+
+        def f(q, k, v):
+            return jnp.sum(attention(q, k, v, mask, impl=impl, interpret=True) * g)
+
+        dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        for name, grad in (("dq", dq), ("dk", dk), ("dv", dv)):
+            assert float(jnp.abs(grad[1]).max()) == 0.0, (impl, name)
+
+
 def test_pick_block_rule():
     """Pad-minimizing block selection: floor 512 (unbounded search
     degenerates to 128-blocks at long S — 6x slowdown, caught by the

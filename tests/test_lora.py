@@ -98,6 +98,33 @@ def test_kohya_roundtrip(tmp_path, tiny_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_load_lora_rejects_layer_gaps(tmp_path):
+    """A file missing one layer's tensors must fail loudly — silently
+    stacking the remaining layers would misalign every later layer."""
+    from safetensors.numpy import load_file as sf_load, save_file as sf_save
+
+    L, d_in, r, d_out = 3, 8, 2, 8
+    rng = np.random.default_rng(1)
+    stacked = LoRA(
+        params={"blocks": {"attn1": {"to_q": {
+            "a": jnp.asarray(rng.normal(size=(L, d_in, r)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(L, r, d_out)), jnp.float32),
+        }}}},
+        alpha=(("blocks/attn1/to_q", 2.0),),
+    )
+    f = str(tmp_path / "gap.safetensors")
+    save_kohya(stacked, f, dtype=np.float32)
+    tensors = sf_load(f)
+    dropped = {k: v for k, v in tensors.items() if "blocks_1" not in k}
+    assert len(dropped) < len(tensors)
+    sf_save(dropped, f)
+    params = {"blocks": {"attn1": {"to_q": {
+        "kernel": jnp.zeros((L, d_in, d_out), jnp.float32)
+    }}}}
+    with pytest.raises(ValueError, match="non-contiguous layer indices"):
+        load_lora(f, params=params)
+
+
 def test_peft_format_load(tmp_path):
     """diffusers/peft-style keys (dotted paths, lora_A/lora_B) load too."""
     from safetensors.numpy import save_file as sf_save

@@ -69,6 +69,30 @@ def test_ring_with_ragged_mask():
     )
 
 
+def test_ring_fully_masked_rows_are_zero():
+    """Rows whose keys are masked on EVERY hop must output 0 — the flash
+    kernel's l == 0 convention — not a uniform average of masked V rows
+    (e.g. empty-prompt cross-attention)."""
+    mesh = _mesh()
+    b, h, s, d = 2, 2, 8 * 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    mask = np.ones((b, s), np.int32)
+    mask[1, :] = 0  # batch row 1: every key masked, all hops
+    mask = jnp.asarray(mask)
+    out = jax.jit(lambda q, k, v, m: _run_ring(mesh, q, k, v, m))(q, k, v, mask)
+    flash = attention(q, k, v, mask, impl="pallas", interpret=True)
+    assert float(jnp.abs(out[1]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(flash[1]), atol=0, rtol=0
+    )
+    # unmasked batch row is unaffected
+    ref = attention(q[:1], k[:1], v[:1], mask[:1], impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_ring_gradients():
     mesh = _mesh(4)
     b, h, s, d = 1, 2, 4 * 8, 16

@@ -10,16 +10,78 @@ straight through.
 Input is a flat {name: numpy array} state dict — from `load_torch_state_dict`
 (safetensors file/dir, handles shard indexes) or any torch `state_dict()`
 passed through `numpy()`.
+
+Strict accounting: every converter tracks which checkpoint keys it consumed
+and raises on leftovers (renamed/unknown keys would otherwise convert to a
+tree silently missing weights) and on missing keys (with the family named).
+Known non-weight buffers (position tables, HF aliases) are ignored per
+family. Pass `strict=False` to opt out, e.g. for deliberately partial dicts.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
 from typing import Any
 
 import numpy as np
+
+
+class _TrackedStateDict(dict):
+    """State dict recording which keys the converter consumed ('in' checks
+    intentionally do NOT consume — optional-key probes are not reads)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def _strict_converter(family: str, ignore: tuple[str, ...] = ()):
+    """Wrap a converter with consumed-key accounting. The wrapped function
+    gains `strict: bool = True`: unconsumed checkpoint keys (excluding the
+    family's known non-weight buffers) raise, and KeyErrors are re-raised
+    naming the family — a renamed or dropped key fails loudly either way."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(sd, *args, strict: bool = True, **kwargs):
+            tracked = _TrackedStateDict(sd)
+            try:
+                out = fn(tracked, *args, **kwargs)
+            except KeyError as e:
+                raise KeyError(
+                    f"{family} converter: checkpoint is missing key "
+                    f"{e.args[0]!r} — renamed, truncated, or wrong model "
+                    f"family? (strict=False skips only the leftover check, "
+                    f"not required keys)"
+                ) from None
+            if strict:
+                leftovers = sorted(
+                    k
+                    for k in tracked
+                    if k not in tracked.consumed
+                    and not any(re.fullmatch(p, k) for p in ignore)
+                )
+                if leftovers:
+                    shown = ", ".join(leftovers[:8])
+                    more = f" (+{len(leftovers) - 8} more)" if len(leftovers) > 8 else ""
+                    raise ValueError(
+                        f"{family} converter: {len(leftovers)} checkpoint "
+                        f"key(s) were never consumed: {shown}{more} — "
+                        f"renamed/unknown weights would be silently dropped. "
+                        f"Pass strict=False for deliberately partial dicts."
+                    )
+            return out
+
+        return wrapper
+
+    return deco
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -84,6 +146,14 @@ def _norm(sd: dict, tree: dict, src: str, dst: str, *, scale_name: str = "scale"
 # ---------------------------------------------------------------------------
 
 
+@_strict_converter(
+    "t5_encoder",
+    ignore=(
+        r"decoder\..*", r"lm_head\.weight",
+        # HF files often carry the tied-embedding alias
+        r"encoder\.embed_tokens\.weight",
+    ),
+)
 def t5_encoder_params(sd: dict[str, np.ndarray]) -> dict:
     """HF T5EncoderModel state dict → T5Encoder param tree.
 
@@ -119,6 +189,11 @@ def t5_encoder_params(sd: dict[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 
+@_strict_converter(
+    "clip_text",
+    # old transformers checkpoints persist the position_ids buffer
+    ignore=(r".*\.position_ids",),
+)
 def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
     tree: dict = {}
     _set(tree, "token_embedding", sd["text_model.embeddings.token_embedding.weight"])
@@ -171,6 +246,15 @@ def stack_layers(tree: dict, prefix: str = "blocks", count: int | None = None) -
     return tree
 
 
+@_strict_converter(
+    "pixart",
+    ignore=(
+        # 1024-model micro-conditioning embedders (unused at 512) and the
+        # original-repo uncond caption buffer
+        r"adaln_single\.emb\.(resolution|aspect_ratio)_embedder\..*",
+        r"caption_projection\.y_embedding",
+    ),
+)
 def pixart_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """diffusers PixArt transformer state dict → PixArtTransformer2D tree.
 
@@ -212,6 +296,7 @@ def pixart_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dic
 # ---------------------------------------------------------------------------
 
 
+@_strict_converter("taesd", ignore=(r"latent_(magnitude|shift)",))
 def taesd_params(
     sd: dict[str, np.ndarray],
     *,
@@ -279,6 +364,11 @@ def _n_blocks(sd: dict, pattern: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+@_strict_converter(
+    "sd3",
+    # the checkpoint persists the sin-cos position table; recomputed here
+    ignore=(r"pos_embed\.pos_embed",),
+)
 def sd3_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """SD3-Medium transformer state dict → SD3Transformer2D tree. The
     checkpoint's `pos_embed.pos_embed` buffer is the same center-cropped
@@ -350,6 +440,7 @@ def _unet_spatial_transformer(sd: dict, tree: dict, src: str, dst: str) -> None:
     _linear(sd, tree, f"{b}.ff.net.2", f"{d}/ff/proj_out")
 
 
+@_strict_converter("unet_sd15")
 def unet_sd15_params(
     sd: dict[str, np.ndarray], *, layers_per_block: int = 2, n_stages: int = 4
 ) -> dict:
@@ -412,6 +503,7 @@ def _kl_mid_attn(sd: dict, tree: dict, src: str, dst: str) -> None:
     _linear(sd, tree, f"{src}.to_out.0", f"{dst}/to_out")
 
 
+@_strict_converter("klvae")
 def klvae_params(
     sd: dict[str, np.ndarray], *, layers_per_block: int = 2, n_stages: int = 4
 ) -> dict:
@@ -459,6 +551,11 @@ def klvae_params(
 # ---------------------------------------------------------------------------
 
 
+@_strict_converter(
+    "cogvideox",
+    # non-persistent 3D sin-cos buffer (2B); recomputed host-side
+    ignore=(r"patch_embed\.pos_embedding",),
+)
 def cogvideox_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
     """CogVideoX-2b transformer state dict → CogVideoXTransformer3D tree.
     The 3D sin-cos position buffer is non-persistent (recomputed in Flax);
@@ -518,6 +615,11 @@ def _vae3d_resnet(sd: dict, tree: dict, src: str, dst: str) -> None:
             _set(tree, f"{dst}/shortcut/bias", sd[f"{src}.conv_shortcut.conv.bias"])
 
 
+@_strict_converter(
+    "vae3d_decoder",
+    # decoder-only converter: encoder weights are intentionally untouched
+    ignore=(r"encoder\..*", r"quant_conv\..*", r"post_quant_conv\..*"),
+)
 def vae3d_decoder_params(
     sd: dict[str, np.ndarray], *, layers_per_block: int = 3, n_stages: int = 4
 ) -> dict:

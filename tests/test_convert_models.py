@@ -316,3 +316,69 @@ def test_vae3d_decoder_convert():
     _assert_same_structure(tree, init)
     out = dec.apply({"params": tree}, z)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_strict_accounting_rejects_unknown_and_missing_keys():
+    """Converter fidelity guard (round-1 gap): a RENAMED checkpoint key must
+    fail loudly in both directions — the old name is a leftover (ValueError)
+    and the expected name is missing (KeyError naming the family)."""
+    import pytest
+
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    d = cfg.hidden
+    b = SDBuilder()
+    b.conv("pos_embed.proj", cfg.in_channels, d, k=cfg.patch_size)
+    for name in ("timestep_embedder", "text_embedder"):
+        din = 256 if name == "timestep_embedder" else cfg.pooled_dim
+        b.lin(f"time_text_embed.{name}.linear_1", din, d)
+        b.lin(f"time_text_embed.{name}.linear_2", d, d)
+    b.lin("context_embedder", cfg.context_dim, d)
+    for i in range(cfg.num_layers):
+        s = f"transformer_blocks.{i}"
+        last = i == cfg.num_layers - 1
+        b.lin(f"{s}.norm1.linear", d, 6 * d)
+        b.lin(f"{s}.norm1_context.linear", d, (2 if last else 6) * d)
+        for p in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj"):
+            b.lin(f"{s}.attn.{p}", d, d)
+        b.lin(f"{s}.attn.to_out.0", d, d)
+        if not last:
+            b.lin(f"{s}.attn.to_add_out", d, d)
+        b.lin(f"{s}.ff.net.0.proj", d, 4 * d)
+        b.lin(f"{s}.ff.net.2", 4 * d, d)
+        if not last:
+            b.lin(f"{s}.ff_context.net.0.proj", d, 4 * d)
+            b.lin(f"{s}.ff_context.net.2", 4 * d, d)
+    b.lin("norm_out.linear", d, 2 * d)
+    b.lin("proj_out", d, cfg.patch_size**2 * cfg.out_channels)
+
+    convert.sd3_params(b.sd)  # complete dict converts fine
+
+    # unknown extra key → leftover error (would be silently dropped before)
+    extra = dict(b.sd)
+    extra["transformer_blocks.0.attn.to_q_new.weight"] = (
+        extra["transformer_blocks.0.attn.to_q.weight"]
+    )
+    with pytest.raises(ValueError, match="never consumed"):
+        convert.sd3_params(extra)
+    convert.sd3_params(extra, strict=False)  # explicit opt-out still works
+
+    # required key renamed away → KeyError naming the family
+    renamed = dict(extra)
+    del renamed["transformer_blocks.0.attn.to_q.weight"]
+    with pytest.raises(KeyError, match="sd3 converter"):
+        convert.sd3_params(renamed)
+
+    # an OPTIONAL key ('in sd' probe) renamed away is now caught too: the
+    # original lands in leftovers instead of vanishing
+    opt = dict(b.sd)
+    opt["transformer_blocks.0.attn.to_add_out_v2.weight"] = opt.pop(
+        "transformer_blocks.0.attn.to_add_out.weight"
+    )
+    with pytest.raises(ValueError, match="never consumed"):
+        convert.sd3_params(opt)
+
+    # ignore patterns: known non-weight buffers do not trip strictness
+    with_buf = dict(b.sd)
+    with_buf["pos_embed.pos_embed"] = np.zeros((1, 4, d), np.float32)
+    convert.sd3_params(with_buf)

@@ -57,6 +57,16 @@ class CogVideoXConfig:
     attn_impl: str = "auto"
     scan_layers: bool = True  # see models/pixart.py for rationale
     remat: bool = False
+    # sequence parallelism (opt-in): name of a mesh axis the FRAME axis is
+    # sharded over. The model must then be applied under shard_map with the
+    # latent split on F (frames → contiguous token rows, since tokens are
+    # frame-major) — see `sequence_parallel_apply`. Attention becomes ring
+    # attention over the video K/V shards with the replicated text block as
+    # a once-only prefix; everything else in the block is token-local, so
+    # no other communication exists. This is the SURVEY §5 long-context
+    # extension past what one chip's HBM holds (49 frames fits one chip;
+    # longer/higher-res videos shard).
+    sequence_parallel_axis: str | None = None
 
     @property
     def hidden(self) -> int:
@@ -213,7 +223,18 @@ class CogVideoXBlock(nn.Module):
             q = L.apply_rotary(q, (cos_full, sin_full))
             k = L.apply_rotary(k, (cos_full, sin_full))
 
-        out = fused_attention(q, k, v, impl=c.attn_impl)
+        if c.sequence_parallel_axis is not None:
+            from tdm_tpu.ops.ring_attention import ring_attention
+
+            # joint layout is [text; video]: the video K/V shard rides the
+            # ring, the replicated text block is attended exactly once
+            out = ring_attention(
+                q, k[:, :, s_txt:], v[:, :, s_txt:],
+                axis_name=c.sequence_parallel_axis,
+                prefix_kv=(k[:, :, :s_txt], v[:, :, :s_txt]),
+            )
+        else:
+            out = fused_attention(q, k, v, impl=c.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, s_txt + s_vid, inner)
         out = nn.Dense(inner, dtype=c.dtype, name="to_out")(out)
         ctx = ctx + c_gate * out[:, :s_txt]
@@ -255,22 +276,53 @@ class CogVideoXTransformer3D(nn.Module):
         ctx = nn.Dense(inner, dtype=c.dtype, name="text_proj")(text.astype(c.dtype))
         s_txt = ctx.shape[1]
 
+        # under sequence parallelism this trace sees only the LOCAL frame
+        # shard; position tables are built for the GLOBAL frame count and
+        # sliced at this shard's first token row (tokens are frame-major,
+        # so a frame shard is a contiguous row range)
+        f_global, row0 = f, None
+        if c.sequence_parallel_axis is not None:
+            import jax
+
+            ax = c.sequence_parallel_axis
+            f_global = f * jax.lax.psum(1, ax)  # axis size is static
+            row0 = jax.lax.axis_index(ax) * s_vid
+
         rotary = None
         if c.use_rotary:
-            cos, sin = rope_3d(c.head_dim, f, gh, gw)
-            rotary = (jnp.asarray(cos), jnp.asarray(sin))
+            cos, sin = rope_3d(c.head_dim, f_global, gh, gw)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            if row0 is not None:
+                import jax
+
+                cos = jax.lax.dynamic_slice_in_dim(cos, row0, s_vid, 0)
+                sin = jax.lax.dynamic_slice_in_dim(sin, row0, s_vid, 0)
+            rotary = (cos, sin)
         else:
             # 2B: FIXED 3D sin-cos positions on video tokens only (text
             # token positions are zero — diffusers CogVideoXPatchEmbed
             # builds the joint buffer with a zero text block; the buffer is
             # non-persistent, so checkpoints carry no pos-embed weights)
-            pos = sincos_3d(inner, f, gh, gw)
-            x = x + jnp.asarray(pos, c.dtype)[None]
+            pos = jnp.asarray(sincos_3d(inner, f_global, gh, gw), c.dtype)
+            if row0 is not None:
+                import jax
+
+                pos = jax.lax.dynamic_slice_in_dim(pos, row0, s_vid, 0)
+            x = x + pos[None]
 
         t_base = L.sinusoidal_timestep_embedding(t, inner)
         temb = L.TimestepEmbedding(
             c.time_embed_dim, dtype=c.dtype, name="time_embedding"
         )(t_base.astype(c.dtype))
+
+        if c.sequence_parallel_axis is not None:
+            # shard_map varying-axis typing: ctx derives from the REPLICATED
+            # text, but every block mixes ring-attended (varying) video info
+            # into it — mark it varying up front so the layer-scan carry
+            # types match
+            import jax
+
+            ctx = jax.lax.pcast(ctx, c.sequence_parallel_axis, to="varying")
 
         block_cls = nn.remat(CogVideoXBlock) if c.remat else CogVideoXBlock
         if c.scan_layers:
@@ -309,6 +361,42 @@ class CogVideoXTransformer3D(nn.Module):
         x = x.reshape(b, f, gh, gw, p, p, c.out_channels)
         x = jnp.einsum("bfhwpqc->bcfhpwq", x)
         return x.reshape(b, c.out_channels, f, gh * p, gw * p).astype(latent.dtype)
+
+
+def sequence_parallel_apply(model: CogVideoXTransformer3D, mesh, *, data_axis=None):
+    """Wrap `model.apply` in shard_map for sequence-parallel execution:
+    latent frames sharded over the cfg's `sequence_parallel_axis` of `mesh`
+    (optionally batch over `data_axis`), params/text replicated over 'sp'.
+    Returns fn(params, latent [B,C,F,H,W], t [B], text [B,L,Dt]) with the
+    full (unsharded-looking) output — jit it with mesh-placed inputs.
+
+    F must divide by the sp axis size. The only cross-shard communication
+    is the per-block ring attention (lax.ppermute over ICI); patchify, all
+    norms, FF, and unpatchify are token-local."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    ax = model.cfg.sequence_parallel_axis
+    if ax is None:
+        raise ValueError(
+            "model.cfg.sequence_parallel_axis is None — construct the model "
+            "with the sp axis name to use sequence_parallel_apply"
+        )
+
+    def local(params, latent, t, text):
+        return model.apply({"params": params}, latent, t, text)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(data_axis, None, ax, None, None),
+            P(data_axis),
+            P(data_axis),
+        ),
+        out_specs=P(data_axis, None, ax, None, None),
+    )
 
 
 def make_denoise_fn(model: CogVideoXTransformer3D, params):

@@ -62,11 +62,20 @@ def ring_attention(
     axis_name: str,
     key_mask: jnp.ndarray | None = None,
     scale: float | None = None,
+    prefix_kv: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    prefix_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full attention over sequence shards. q/k/v: [B, H, S_loc, D] local
     shards (call under shard_map); key_mask: local [B, S_loc] (each
     device's mask travels with its K/V shard). Returns the local output
-    shard [B, H, S_loc, D]."""
+    shard [B, H, S_loc, D].
+
+    `prefix_kv=(k_p, v_p)`: an extra K/V block that is REPLICATED across
+    the axis and must be attended exactly once per query — it seeds the
+    online-softmax carry instead of riding the ring. This is the
+    text-prepended joint attention of CogVideoX under sequence parallelism:
+    video K/V shards rotate, the (small) text block stays local
+    (`models/cogvideox.py`, reference `README.md:114-138` video recipe)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     n = jax.lax.psum(1, axis_name)
@@ -99,9 +108,21 @@ def ring_attention(
         return num, den, m_new, kv_next
 
     b, h, s_loc, d = q.shape
-    num0 = vary(jnp.zeros((b, h, s_loc, d), jnp.float32))
-    den0 = vary(jnp.zeros((b, h, s_loc, 1), jnp.float32))
-    m0 = vary(jnp.full((b, h, s_loc, 1), -1e30, jnp.float32))
+    if prefix_kv is not None:
+        # seed the carry with the replicated prefix block's partial result
+        # (counted exactly once; the loop only merges the rotating shards)
+        k_p, v_p = prefix_kv
+        if prefix_mask is not None:
+            bias_p = jnp.where(
+                prefix_mask.astype(bool), 0.0, -1e30
+            ).astype(jnp.float32)
+        else:
+            bias_p = None
+        num0, m0, den0 = partial_fn(q, k_p, v_p, bias_p, scale)
+    else:
+        num0 = vary(jnp.zeros((b, h, s_loc, d), jnp.float32))
+        den0 = vary(jnp.zeros((b, h, s_loc, 1), jnp.float32))
+        m0 = vary(jnp.full((b, h, s_loc, 1), -1e30, jnp.float32))
     num, den, m_fin, _ = jax.lax.fori_loop(
         0, n, step, (num0, den0, m0, (k, v, bias))
     )

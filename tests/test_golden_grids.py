@@ -1,0 +1,139 @@
+"""Golden regression fixtures: fixed (params-seed, noise, embedding) tuples
+whose 4-NFE sampler outputs are committed as .npz fixtures — any kernel,
+schedule, or solver change that shifts outputs numerically fails here.
+
+This is the reproducibility contract of the reference's fixed-seed
+validation methodology (`/root/reference/src/training.py:44,107-121`, seeds
+pinned in `README.md:57,98,133`) turned into an automated test (the
+reference only eyeballs grids; SURVEY.md §4).
+
+Regenerate after an INTENTIONAL numeric change with:
+    TDM_REGEN_GOLDEN=1 python -m pytest tests/test_golden_grids.py
+and commit the updated fixtures with a note saying why they moved.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.core import sampling, schedules as sched, solvers
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+REGEN = os.environ.get("TDM_REGEN_GOLDEN", "") == "1"
+# same-platform fp32 runs are deterministic; the tolerance absorbs only
+# XLA-version-level reassociation, far below any semantic change
+ATOL = 5e-4
+
+
+def _check(name: str, latents: np.ndarray):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if REGEN:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, latents=latents.astype(np.float32))
+        pytest.skip(f"regenerated {path}")
+    assert os.path.exists(path), (
+        f"missing fixture {path} — run with TDM_REGEN_GOLDEN=1 once"
+    )
+    ref = np.load(path)["latents"]
+    assert ref.shape == latents.shape
+    np.testing.assert_allclose(
+        latents, ref, atol=ATOL, rtol=ATOL,
+        err_msg=f"{name}: sampler output drifted from committed golden — "
+        f"if the change is intentional, regenerate with TDM_REGEN_GOLDEN=1",
+    )
+
+
+def test_golden_pixart_fewstep():
+    """Tiny PixArt, 4-NFE deterministic rollout (generate_new semantics,
+    reference src/models.py:20-62)."""
+    from tdm_tpu.models import pixart
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    b, seq = 2, 8
+    noise = jax.random.normal(jax.random.PRNGKey(42), (b, 4, 16, 16))
+    text = jax.random.normal(jax.random.PRNGKey(43), (b, seq, cfg.caption_dim)) * 0.1
+    mask = jnp.ones((b, seq), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(7), noise, jnp.zeros((b,)), text, mask
+    )["params"]
+
+    def fn(x, t, cond):
+        te, m = cond
+        return pixart.epsilon(model.apply({"params": params}, x, t, te, m))
+
+    latents = sampling.sample_fewstep(
+        fn, sched.ddpm_linear(), noise, (text, mask),
+        timestep_grid=sched.fewstep_grid(900, 4),
+    )
+    _check("pixart_tiny_4nfe", np.asarray(latents, np.float32))
+
+
+def test_golden_sd3_dpm_solver():
+    """Tiny SD3 MMDiT through DPM-Solver++(2M) on the flow grid with the
+    recipe's flow_shift=6 (reference README.md:54-56)."""
+    from tdm_tpu.models import mmdit_sd3
+
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    b = 2
+    noise = jax.random.normal(
+        jax.random.PRNGKey(8888),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(44), (b, 6, cfg.context_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(45), (b, cfg.pooled_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(9), noise, jnp.zeros((b,)), ctx, pooled
+    )["params"]
+    fn = mmdit_sd3.make_denoise_fn(model, params)
+    latents = solvers.sample_dpm_solver(
+        fn, solvers.flow_grid(4, flow_shift=6.0), noise, (ctx, pooled)
+    )
+    _check("sd3_tiny_4nfe_dpm", np.asarray(latents, np.float32))
+
+
+def test_golden_cogvideox_fewstep():
+    """Tiny CogVideoX on the released checkpoints' trained grid
+    t=[999,856,665,399] (reference README.md:129)."""
+    from tdm_tpu.models import cogvideox as cog
+    from tdm_tpu.pipelines.cogvideox import TDM_TRAINED_GRID
+
+    cfg = cog.CogVideoXConfig.tiny()
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    b = 1
+    noise = jax.random.normal(
+        jax.random.PRNGKey(8888),
+        (b, cfg.in_channels, cfg.sample_frames, cfg.sample_h, cfg.sample_w),
+    )
+    text = jax.random.normal(
+        jax.random.PRNGKey(46), (b, cfg.max_text_len, cfg.text_dim)
+    ) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(10), noise, jnp.zeros((b,)), text
+    )["params"]
+    fn = cog.make_denoise_fn(model, params)
+    latents = sampling.sample_fewstep(
+        fn, sched.cogvideox(), noise, text,
+        timestep_grid=sched.grid_from_list(list(TDM_TRAINED_GRID)),
+    )
+    _check("cogvideox_tiny_4nfe", np.asarray(latents, np.float32))
+
+
+def test_golden_taesd_decode():
+    """Tiny TAESD decoder on a fixed latent: pins the VAE conv/norm path
+    (the reference decodes every validation grid through TAESD,
+    src/training.py:113-116)."""
+    from tdm_tpu.models import vae as vae_lib
+
+    cfg = vae_lib.TAESDConfig(
+        latent_channels=4, width=16, num_stages=2, blocks_per_stage=1
+    )
+    dec = vae_lib.TAESDDecoder(cfg=cfg)
+    z = jax.random.normal(jax.random.PRNGKey(47), (1, 4, 8, 8))
+    params = dec.init(jax.random.PRNGKey(11), z)["params"]
+    img = dec.apply({"params": params}, z / cfg.scaling_factor)
+    _check("taesd_tiny_decode", np.asarray(img, np.float32))

@@ -224,17 +224,27 @@ def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def stack_layers(tree: dict, prefix: str = "blocks", count: int | None = None) -> dict:
-    """Fold `{prefix}_0 … {prefix}_{L-1}` sibling subtrees into one stacked
-    `{prefix}` subtree with a leading layer axis — the param layout of
-    scan-over-layers models (models/pixart.py scan_layers). `count` stacks
-    only the first N (SD3 keeps its heterogeneous last block unrolled)."""
+def stack_layers(
+    tree: dict,
+    prefix: str = "blocks",
+    count: int | None = None,
+    *,
+    start: int = 0,
+    out_name: str | None = None,
+) -> dict:
+    """Fold `{prefix}_{start} … {prefix}_{start+N-1}` sibling subtrees into
+    one stacked `{out_name or prefix}` subtree with a leading layer axis —
+    the param layout of scan-over-layers models (models/pixart.py
+    scan_layers). `count` stacks only N blocks (SD3 keeps its heterogeneous
+    last block unrolled); `start`/`out_name` let heterogeneous models build
+    several stacks (SD3.5: dual-attention prefix under 'blocks_dual')."""
     import re as _re
 
     names = sorted(
         (k for k in tree if _re.fullmatch(rf"{prefix}_\d+", k)),
         key=lambda s: int(s.rsplit("_", 1)[1]),
     )
+    names = [k for k in names if int(k.rsplit("_", 1)[1]) >= start]
     if count is not None:
         names = names[:count]
     if not names:
@@ -242,7 +252,7 @@ def stack_layers(tree: dict, prefix: str = "blocks", count: int | None = None) -
     subs = [tree.pop(k) for k in names]
     import jax
 
-    tree[prefix] = jax.tree.map(lambda *xs: np.stack(xs), *subs)
+    tree[out_name or prefix] = jax.tree.map(lambda *xs: np.stack(xs), *subs)
     return tree
 
 
@@ -397,6 +407,17 @@ def sd3_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
         for qk in ("norm_q", "norm_k"):  # SD3.5 rms qk-norm
             if f"{src}.attn.{qk}.weight" in sd:
                 _set(tree, f"{dst}/{qk}/scale", sd[f"{src}.attn.{qk}.weight"])
+        if f"{src}.attn2.to_q.weight" in sd:
+            # SD3.5 dual attention: extra image-stream self-attention
+            for p in ("to_q", "to_k", "to_v"):
+                _linear(sd, tree, f"{src}.attn2.{p}", f"{dst}/attn2/{p}")
+            _linear(sd, tree, f"{src}.attn2.to_out.0", f"{dst}/attn2/to_out")
+            for qk in ("norm_q", "norm_k"):
+                if f"{src}.attn2.{qk}.weight" in sd:
+                    _set(
+                        tree, f"{dst}/attn2/{qk}/scale",
+                        sd[f"{src}.attn2.{qk}.weight"],
+                    )
         _linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
         _linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
         if f"{src}.ff_context.net.0.proj.weight" in sd:
@@ -406,7 +427,25 @@ def sd3_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
                     f"{dst}/ff_context/proj_out")
     _linear(sd, tree, "norm_out.linear", "norm_out/linear")
     _linear(sd, tree, "proj_out", "proj_out")
-    return stack_layers(tree, count=n - 1) if scan_layers else tree
+    if not scan_layers:
+        return tree
+    dual = [
+        i for i in range(n)
+        if f"transformer_blocks.{i}.attn2.to_q.weight" in sd
+    ]
+    if dual:
+        # SD3.5: dual blocks must be a contiguous prefix (two homogeneous
+        # scan stacks: 'blocks_dual' + 'blocks'); matches the model check
+        if dual != list(range(len(dual))):
+            raise ValueError(
+                f"sd3: dual-attention blocks {dual} are not a contiguous "
+                "prefix — convert with scan_layers=False"
+            )
+        d = min(len(dual), n - 1)
+        tree = stack_layers(tree, count=d, out_name="blocks_dual")
+        tree = stack_layers(tree, count=n - 1 - d, start=d)
+        return tree
+    return stack_layers(tree, count=n - 1)
 
 
 # ---------------------------------------------------------------------------

@@ -46,11 +46,17 @@ class MMDiTConfig:
     pooled_dim: int = 2048  # pooled CLIP-L+G
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None  # 'rms' for SD3.5-family
+    # SD3.5-Medium: these block indices carry an EXTRA image-stream
+    # self-attention (HF use_dual_attention: norm1 emits 9 modulation
+    # vectors, attn2 output gated by the extra gate). Must be a contiguous
+    # prefix 0..d-1 when scan_layers (two homogeneous stacks: 'blocks_dual'
+    # then 'blocks'); arbitrary sets work unrolled.
+    dual_attention_layers: tuple = ()
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
-    # scan the N-1 homogeneous dual-stream blocks (stacked params under
-    # 'blocks'); the final context_pre_only block stays unrolled as
-    # 'blocks_{N-1}'. See models/pixart.py for the compile-time rationale.
+    # scan the homogeneous dual-stream blocks (stacked params under
+    # 'blocks_dual'/'blocks'); the final context_pre_only block stays
+    # unrolled as 'blocks_{N-1}'. See models/pixart.py for the rationale.
     scan_layers: bool = True
     remat: bool = False
 
@@ -60,10 +66,16 @@ class MMDiTConfig:
 
     @staticmethod
     def sd35_medium() -> "MMDiTConfig":
-        """SD3.5-Medium: 24 layers like 3.0 but with RMS qk-norm (and dual
-        attention on some blocks in the HF impl — not modeled; the TDM
-        recipes target SD3-Medium, README.md:44)."""
-        return MMDiTConfig(qk_norm="rms")
+        """SD3.5-Medium: 23 layers, RMS qk-norm, dual attention on blocks
+        0-12, pos_embed_max_size 384 (HF stable-diffusion-3.5-medium
+        config). The TDM recipes target SD3-Medium (README.md:44); this
+        preset exists for checkpoint parity beyond them."""
+        return MMDiTConfig(
+            num_layers=23,
+            qk_norm="rms",
+            dual_attention_layers=tuple(range(13)),
+            pos_embed_max_size=384,
+        )
 
     @staticmethod
     def sd35_large() -> "MMDiTConfig":
@@ -106,6 +118,9 @@ class AdaLNZero(nn.Module):
 class JointBlock(nn.Module):
     cfg: MMDiTConfig
     context_pre_only: bool = False
+    # SD3.5 dual attention: extra image-stream self-attention alongside the
+    # joint attention (HF JointTransformerBlock use_dual_attention)
+    dual_attention: bool = False
     scan: bool = False  # under nn.scan: carry=(x, ctx), returns (carry, None)
 
     @nn.compact
@@ -118,10 +133,18 @@ class JointBlock(nn.Module):
         lctx = ctx.shape[1]
         inner = c.hidden
 
-        mod_x = AdaLNZero(6, inner, dtype=c.dtype, name="norm1")(temb)
+        # AdaLayerNormZero (6) or AdaLayerNormZeroX (9: + shift/scale/gate
+        # for the dual attention branch — HF chunk order)
+        mod_x = AdaLNZero(
+            9 if self.dual_attention else 6, inner, dtype=c.dtype, name="norm1"
+        )(temb)
         sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = [
             mod_x[:, i][:, None] for i in range(6)
         ]
+        if self.dual_attention:
+            sh_msa2, sc_msa2, g_msa2 = [
+                mod_x[:, i][:, None] for i in range(6, 9)
+            ]
         if self.context_pre_only:
             # final block: context gets plain (scale, shift) and no output
             mod_c = AdaLNZero(2, inner, dtype=c.dtype, name="norm1_context")(temb)
@@ -165,7 +188,21 @@ class JointBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, s + lctx, inner)
         out_x, out_c = out[:, :s], out[:, s:]
 
-        x = x + g_msa * nn.Dense(inner, dtype=c.dtype, name="to_out")(out_x)
+        x_in = x
+        x = x_in + g_msa * nn.Dense(inner, dtype=c.dtype, name="to_out")(out_x)
+        if self.dual_attention:
+            # parallel branch from the BLOCK INPUT (both attention inputs
+            # derive from x_in in the HF block), added after the joint out
+            hx2 = L.layer_norm(x_in) * (1 + sc_msa2) + sh_msa2
+            a2 = L.Attention(
+                heads=c.num_heads,
+                head_dim=c.head_dim,
+                qk_norm=c.qk_norm,
+                dtype=c.dtype,
+                attn_impl=c.attn_impl,
+                name="attn2",
+            )(hx2)
+            x = x + g_msa2 * a2
         hx = L.layer_norm(x) * (1 + sc_mlp) + sh_mlp
         x = x + g_mlp * L.FeedForward(
             mult=4, activation="gelu-approximate", dtype=c.dtype, name="ff"
@@ -227,15 +264,35 @@ class SD3Transformer2D(nn.Module):
         )
 
         block_cls = nn.remat(JointBlock) if c.remat else JointBlock
+        dual_set = set(c.dual_attention_layers)
         if c.scan_layers and c.num_layers > 1:
-            stack = nn.scan(
-                block_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                length=c.num_layers - 1,
-                in_axes=(nn.broadcast,),
-            )
-            (x, ctx), _ = stack(cfg=c, scan=True, name="blocks")((x, ctx), temb)
+            n_dual = len(dual_set)
+            if dual_set and dual_set != set(range(n_dual)):
+                raise ValueError(
+                    "scan_layers requires dual_attention_layers to be a "
+                    f"contiguous prefix 0..{n_dual - 1}, got "
+                    f"{sorted(dual_set)} (use scan_layers=False otherwise)"
+                )
+
+            def scan_stack(length, name, dual):
+                stack = nn.scan(
+                    block_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=length,
+                    in_axes=(nn.broadcast,),
+                )
+                return stack(cfg=c, scan=True, dual_attention=dual, name=name)
+
+            if n_dual:
+                # SD3.5: dual-attention prefix under 'blocks_dual'
+                (x, ctx), _ = scan_stack(min(n_dual, c.num_layers - 1),
+                                         "blocks_dual", True)((x, ctx), temb)
+            n_plain = c.num_layers - 1 - min(n_dual, c.num_layers - 1)
+            if n_plain > 0:
+                (x, ctx), _ = scan_stack(n_plain, "blocks", False)(
+                    (x, ctx), temb
+                )
             x, ctx = block_cls(
                 cfg=c, context_pre_only=True, name=f"blocks_{c.num_layers - 1}"
             )(x, ctx, temb)
@@ -244,6 +301,7 @@ class SD3Transformer2D(nn.Module):
                 x, ctx = block_cls(
                     cfg=c,
                     context_pre_only=(i == c.num_layers - 1),
+                    dual_attention=(i in dual_set),
                     name=f"blocks_{i}",
                 )(x, ctx, temb)
 

@@ -382,3 +382,106 @@ def test_strict_accounting_rejects_unknown_and_missing_keys():
     with_buf = dict(b.sd)
     with_buf["pos_embed.pos_embed"] = np.zeros((1, 4, d), np.float32)
     convert.sd3_params(with_buf)
+
+
+def _build_sd3_dict(cfg, dual_layers=()):
+    d = cfg.hidden
+    b = SDBuilder()
+    b.conv("pos_embed.proj", cfg.in_channels, d, k=cfg.patch_size)
+    for name in ("timestep_embedder", "text_embedder"):
+        din = 256 if name == "timestep_embedder" else cfg.pooled_dim
+        b.lin(f"time_text_embed.{name}.linear_1", din, d)
+        b.lin(f"time_text_embed.{name}.linear_2", d, d)
+    b.lin("context_embedder", cfg.context_dim, d)
+    for i in range(cfg.num_layers):
+        s = f"transformer_blocks.{i}"
+        last = i == cfg.num_layers - 1
+        dual = i in dual_layers
+        b.lin(f"{s}.norm1.linear", d, (9 if dual else 6) * d)
+        b.lin(f"{s}.norm1_context.linear", d, (2 if last else 6) * d)
+        for p in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj"):
+            b.lin(f"{s}.attn.{p}", d, d)
+        b.lin(f"{s}.attn.to_out.0", d, d)
+        if not last:
+            b.lin(f"{s}.attn.to_add_out", d, d)
+        if cfg.qk_norm == "rms":
+            for qk in ("norm_q", "norm_k"):  # RMSNorm: weight only, no bias
+                b.sd[f"{s}.attn.{qk}.weight"] = b.rng.normal(
+                    size=(cfg.head_dim,)).astype(np.float32)
+        if dual:
+            for p in ("to_q", "to_k", "to_v"):
+                b.lin(f"{s}.attn2.{p}", d, d)
+            b.lin(f"{s}.attn2.to_out.0", d, d)
+            if cfg.qk_norm == "rms":
+                for qk in ("norm_q", "norm_k"):
+                    b.sd[f"{s}.attn2.{qk}.weight"] = b.rng.normal(
+                        size=(cfg.head_dim,)).astype(np.float32)
+        b.lin(f"{s}.ff.net.0.proj", d, 4 * d)
+        b.lin(f"{s}.ff.net.2", 4 * d, d)
+        if not last:
+            b.lin(f"{s}.ff_context.net.0.proj", d, 4 * d)
+            b.lin(f"{s}.ff_context.net.2", 4 * d, d)
+    b.lin("norm_out.linear", d, 2 * d)
+    b.lin("proj_out", d, cfg.patch_size**2 * cfg.out_channels)
+    return b.sd
+
+
+def test_sd35_dual_attention_convert_and_scan_parity():
+    """SD3.5 dual attention (VERDICT r1 #8): blocks 0..d-1 carry an extra
+    image-stream self-attention with a 9-way AdaLN. The converter splits
+    the checkpoint into 'blocks_dual' + 'blocks' stacks; scan and unrolled
+    layouts must agree numerically on the same weights."""
+    import dataclasses
+
+    base = mmdit_sd3.MMDiTConfig.tiny()
+    cfg = dataclasses.replace(
+        base, num_layers=4, qk_norm="rms", dual_attention_layers=(0, 1)
+    )
+    sd = _build_sd3_dict(cfg, dual_layers=(0, 1))
+
+    lat = jnp.zeros((2, cfg.in_channels, cfg.sample_size, cfg.sample_size))
+    t = jnp.array([500.0, 100.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(0), (2, 6, cfg.context_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.pooled_dim)) * 0.1
+
+    # scan layout: structure matches init, forward runs
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    init = model.init(jax.random.PRNGKey(2), lat, t, ctx, pooled)["params"]
+    assert "blocks_dual" in init and "blocks" in init
+    tree = convert.to_jax(convert.sd3_params(sd))
+    _assert_same_structure(tree, init)
+    out_scan = model.apply({"params": tree}, lat, t, ctx, pooled)
+
+    # unrolled layout on the SAME weights agrees
+    cfg_u = dataclasses.replace(cfg, scan_layers=False)
+    model_u = mmdit_sd3.SD3Transformer2D(cfg=cfg_u)
+    tree_u = convert.to_jax(convert.sd3_params(sd, scan_layers=False))
+    out_u = model_u.apply({"params": tree_u}, lat, t, ctx, pooled)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_u), atol=2e-5, rtol=2e-5
+    )
+
+    # dual weights actually matter: zeroing attn2's output proj changes out
+    import jax as _jax
+    tree_z = _jax.tree.map(lambda x: x, tree)  # shallow copy
+    tree_z["blocks_dual"]["attn2"]["to_out"]["kernel"] = jnp.zeros_like(
+        tree_z["blocks_dual"]["attn2"]["to_out"]["kernel"]
+    )
+    out_z = model.apply({"params": tree_z}, lat, t, ctx, pooled)
+    assert float(jnp.abs(out_z - out_scan).max()) > 1e-6
+
+    # non-contiguous dual set must refuse to stack
+    import pytest
+    sd_bad = _build_sd3_dict(cfg, dual_layers=(1, 2))
+    with pytest.raises(ValueError, match="contiguous"):
+        convert.sd3_params(sd_bad)
+
+
+def test_sd35_medium_preset_shape():
+    """The preset encodes the HF stable-diffusion-3.5-medium block layout."""
+    cfg = mmdit_sd3.MMDiTConfig.sd35_medium()
+    assert cfg.num_layers == 23
+    assert cfg.dual_attention_layers == tuple(range(13))
+    assert cfg.qk_norm == "rms"
+    assert cfg.pos_embed_max_size == 384

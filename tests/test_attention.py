@@ -141,13 +141,15 @@ def test_all_masked_rows_output_zero_all_impls():
 
 
 def test_pick_block_rule():
-    """Pad-minimizing block selection: floor 512 (unbounded search
-    degenerates to 128-blocks at long S — 6x slowdown, caught by the
-    video bench), prefers less padding, shrinks for short sequences."""
+    """Cost-model block selection (padded area / measured per-block
+    efficiency): reproduces the swept optima — 896 at the SD3 shape, 1024
+    at video length (pure pad-minimization picked 512 there, 34% slower);
+    floor 512 (128-blocks were a 6x slowdown, caught by the video bench);
+    shrinks for short sequences."""
     from tdm_tpu.ops.attention import _pick_block
 
-    assert _pick_block(4429, 1024) == 896  # pads 4480, not 5120
-    assert _pick_block(17776, 1024) >= 512  # the regression guard
+    assert _pick_block(4429, 1024) == 896  # pads 4480 at 0.90 eff
+    assert _pick_block(17776, 1024) == 1024  # swept fwd/bwd optimum
     assert _pick_block(1024, 1024) == 1024  # exact fit
     assert _pick_block(128, 1024) == 128  # short seq shrinks
     assert _pick_block(4096, 1024) == 1024  # exact fit at requested

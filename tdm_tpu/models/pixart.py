@@ -52,6 +52,11 @@ class PixArtConfig:
     # remat each block (the reference's --gradient_checkpointing,
     # src/main.py:191-193): trade recompute for activation HBM.
     remat: bool = False
+    # 'full' recomputes everything in the block on the backward pass;
+    # 'dots' saves matmul outputs and recomputes only elementwise ops
+    # (jax dots_with_no_batch_dims_saveable) — faster when the saved
+    # activations still fit HBM
+    remat_policy: str = "full"
 
     @property
     def hidden(self) -> int:
@@ -123,6 +128,21 @@ class PixArtBlock(nn.Module):
         return (out, None) if self.scan else out
 
 
+def _remat_block(c: PixArtConfig):
+    """nn.remat with the configured checkpoint policy (see
+    PixArtConfig.remat_policy)."""
+    if c.remat_policy == "dots":
+        import jax
+
+        return nn.remat(
+            PixArtBlock,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    if c.remat_policy != "full":
+        raise ValueError(f"unknown remat_policy {c.remat_policy!r}")
+    return nn.remat(PixArtBlock)
+
+
 class PixArtTransformer2D(nn.Module):
     """Full DiT. __call__(latent [B,4,H,W], t [B], text [B,L,4096],
     text_mask [B,L]) → [B,8,H,W]."""
@@ -161,7 +181,7 @@ class PixArtTransformer2D(nn.Module):
         y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_2")(y)
 
         if c.scan_layers:
-            block_cls = nn.remat(PixArtBlock) if c.remat else PixArtBlock
+            block_cls = _remat_block(c) if c.remat else PixArtBlock
             stack = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
@@ -171,7 +191,7 @@ class PixArtTransformer2D(nn.Module):
             )
             x, _ = stack(cfg=c, scan=True, name="blocks")(x, y, text_mask, t6)
         else:
-            block_cls = nn.remat(PixArtBlock) if c.remat else PixArtBlock
+            block_cls = _remat_block(c) if c.remat else PixArtBlock
             for i in range(c.num_layers):
                 x = block_cls(cfg=c, name=f"blocks_{i}")(x, y, text_mask, t6)
 

@@ -233,13 +233,22 @@ def build_train_step(
 
         def teacher_cfg_x0(x_t, t):
             """Teacher x0 pair → CFG target in x0 space (fixes defects
-            3+4); all stop-grad."""
-            eps_t_c = denoise_fn(teacher, x_t, t, cond)
-            x0_t_c = sched.predicted_origin(schedule, eps_t_c, t, x_t)
+            3+4); all stop-grad. cond and uncond ride ONE batched forward
+            (batch 2B) — one scan over the layers instead of two."""
             if config.cfg == 1.0:
+                eps_t_c = denoise_fn(teacher, x_t, t, cond)
+                x0_t_c = sched.predicted_origin(schedule, eps_t_c, t, x_t)
                 return jax.lax.stop_gradient(x0_t_c)
-            eps_t_u = denoise_fn(teacher, x_t, t, uncond)
-            x0_t_u = sched.predicted_origin(schedule, eps_t_u, t, x_t)
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            cond2 = jax.tree.map(
+                lambda a, b_: jnp.concatenate([a, b_], axis=0), cond, uncond
+            )
+            eps2 = denoise_fn(teacher, x2, t2, cond2)
+            x0_2 = sched.predicted_origin(
+                schedule, eps2, t2, x2
+            )
+            x0_t_c, x0_t_u = jnp.split(x0_2, 2, axis=0)
             return jax.lax.stop_gradient(
                 x0_t_u + config.cfg * (x0_t_c - x0_t_u)
             )
@@ -353,12 +362,21 @@ def build_train_step(
             target = teacher_cfg_x0(x_in, t_fake)
 
             def student_loss_fn(student_params):
-                eps_s_c = student_fn(student_params, x_in, t_fake, cond)
                 if config.student_cfg_in_loss and config.cfg != 1.0:
-                    eps_s_u = student_fn(student_params, x_in, t_fake, uncond)
+                    # one batched (2B) forward for the cond/uncond pair —
+                    # halves the layer scans in BOTH directions (this
+                    # forward carries the student gradient)
+                    x2 = jnp.concatenate([x_in, x_in], axis=0)
+                    t2 = jnp.concatenate([t_fake, t_fake], axis=0)
+                    cond2 = jax.tree.map(
+                        lambda a, b_: jnp.concatenate([a, b_], axis=0),
+                        cond, uncond,
+                    )
+                    eps2 = student_fn(student_params, x2, t2, cond2)
+                    eps_s_c, eps_s_u = jnp.split(eps2, 2, axis=0)
                     eps_s = eps_s_u + config.cfg * (eps_s_c - eps_s_u)
                 else:
-                    eps_s = eps_s_c
+                    eps_s = student_fn(student_params, x_in, t_fake, cond)
                 x0_s = sched.predicted_origin(schedule, eps_s, t_fake, x_in)
                 return weighted_loss(
                     x0_s, target, x0_s.astype(jnp.float32) - target.astype(jnp.float32)

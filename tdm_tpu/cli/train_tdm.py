@@ -56,10 +56,12 @@ def main(argv: Optional[list[str]] = None) -> None:
     if n_dev % max(cfg.fsdp, 1) != 0:
         raise ValueError(f"--fsdp {cfg.fsdp} does not divide {n_dev} devices")
     mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp)
-    batch_sh = pmesh.batch_sharding(mesh)
     # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
-    # the jitted step sees the global batch sharded over 'data'
+    # the jitted step sees the global batch sharded over 'data'. Each HOST
+    # loads only its local rows (pmesh.put_batch assembles the global
+    # array), matching accelerate's per-rank DataLoader shards.
     global_batch = cfg.train_batch_size * n_dev
+    local_batch = global_batch // jax.process_count()
 
     # ---- model (PixArt-α, the demo's training model) ----
     tiny = os.environ.get("TDM_TINY_MODEL", "") == "1"  # smoke-test escape
@@ -128,7 +130,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     if emb_cache_path and os.path.exists(emb_cache_path):
         cache = data_prompts.EmbeddingCache.load(emb_cache_path)
         batches = cache.batches(
-            global_batch, seed=cfg.seed or 0,
+            local_batch, seed=cfg.seed or 0,
             host_index=jax.process_index(), host_count=jax.process_count(),
         )
         get_batch = lambda: next(batches)
@@ -152,7 +154,7 @@ def main(argv: Optional[list[str]] = None) -> None:
 
             if native_loader.available():
                 batcher = native_loader.NativePromptLoader(
-                    src, global_batch, caption_column=cfg.caption_column,
+                    src, local_batch, caption_column=cfg.caption_column,
                     tokenizer=tok, max_length=seq_len, seed=cfg.seed or 0,
                     host_index=jax.process_index(),
                     host_count=jax.process_count(),
@@ -169,7 +171,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
             batcher = iter(
                 data_prompts.PromptBatcher(
-                    prompt_list, global_batch, tokenizer=tok,
+                    prompt_list, local_batch, tokenizer=tok,
                     max_length=seq_len, seed=cfg.seed or 0,
                     host_index=jax.process_index(),
                     host_count=jax.process_count(),
@@ -298,20 +300,28 @@ def main(argv: Optional[list[str]] = None) -> None:
     rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
     micro_step = 0
     while global_step < n_total_steps:
-        text_np, mask_np = get_batch()
+        text_np, mask_np = get_batch()  # [local_batch, ...] host rows
+        text_np = np.asarray(text_np, np.float32)
+        mask_np = np.asarray(mask_np, np.int32)
         cond = (
-            jax.device_put(jnp.asarray(text_np), batch_sh),
-            jax.device_put(jnp.asarray(mask_np, jnp.int32), batch_sh),
+            pmesh.put_batch(text_np, mesh),
+            pmesh.put_batch(mask_np, mesh),
         )
         # CFG null branch: the precomputed empty-prompt T5 embedding when
         # the cache carries it (src/main.py:416-431); zeros in smoke mode
         if uncond_pair is not None:
-            uncond = (
-                jnp.broadcast_to(uncond_pair[0][None], cond[0].shape),
-                jnp.broadcast_to(uncond_pair[1][None], cond[1].shape),
+            u_text = np.broadcast_to(
+                np.asarray(uncond_pair[0], np.float32)[None], text_np.shape
+            )
+            u_mask = np.broadcast_to(
+                np.asarray(uncond_pair[1], np.int32)[None], mask_np.shape
             )
         else:
-            uncond = (jnp.zeros_like(cond[0]), cond[1])
+            u_text, u_mask = np.zeros_like(text_np), mask_np
+        uncond = (
+            pmesh.put_batch(u_text, mesh),
+            pmesh.put_batch(u_mask, mesh),
+        )
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
         # tree is a jit parameter, not baked-in HLO constants

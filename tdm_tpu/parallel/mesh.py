@@ -72,6 +72,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_batch(array, mesh: Mesh) -> jax.Array:
+    """Host-local batch rows → one global batch Array sharded over 'data'.
+
+    Single host: a plain device_put. Multi-host: each process contributes
+    ONLY its local rows (`jax.make_array_from_process_local_data`), so a
+    pod loads global_batch/process_count rows per host instead of every
+    host materializing a global-size batch — the per-host DataLoader shard
+    semantics of the reference's accelerate.prepare(dataloader)
+    (`src/main.py:321-323`)."""
+    arr = np.asarray(array)
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, arr)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over 'data' — the DDP data split."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -38,7 +38,13 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         schedule: Optional[sched.NoiseSchedule] = None,
         vae_tile: int = 32,
         vae_tile_overlap: int = 4,
+        sequence_parallel_mesh=None,
     ):
+        """`sequence_parallel_mesh`: a jax Mesh whose axis named by the
+        transformer cfg's `sequence_parallel_axis` shards the latent FRAME
+        axis — videos longer than one chip's HBM run ring-attended across
+        the mesh (models/cogvideox.sequence_parallel_apply). The latent
+        frame count must divide by the sp axis size."""
         super().__init__()
         self.transformer = transformer
         self.base_params = self.params = transformer_params
@@ -51,6 +57,14 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         self.schedule = schedule if schedule is not None else sched.cogvideox()
         self.vae_tile = vae_tile
         self.vae_tile_overlap = vae_tile_overlap
+        self.sp_mesh = sequence_parallel_mesh
+        ax = transformer.cfg.sequence_parallel_axis
+        if (sequence_parallel_mesh is None) != (ax is None):
+            raise ValueError(
+                "sequence_parallel_mesh and the transformer cfg's "
+                "sequence_parallel_axis must be set together "
+                f"(mesh={sequence_parallel_mesh}, axis={ax!r})"
+            )
 
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
         if self.tokenizer is None or self.text_encoder is None:
@@ -127,10 +141,27 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         model = self.transformer
         grid = sched.grid_from_list(list(timesteps))
         schedule = self.schedule
+        sp_fn = None
+        if self.sp_mesh is not None:
+            ax = model.cfg.sequence_parallel_axis
+            n_sp = dict(self.sp_mesh.shape)[ax]
+            if f_lat % n_sp != 0:
+                raise ValueError(
+                    f"latent frame count {f_lat} does not divide by the "
+                    f"'{ax}' axis size {n_sp} — pick num_frames so that "
+                    f"1 + (num_frames-1)/temporal_factor is a multiple"
+                )
+            data_ax = "data" if "data" in self.sp_mesh.axis_names else None
+            sp_fn = cog.sequence_parallel_apply(
+                model, self.sp_mesh, data_axis=data_ax
+            )
 
         @jax.jit
         def run(params, noise, cond, uncond):
-            denoise = cog.make_denoise_fn(model, params)
+            if sp_fn is not None:
+                denoise = lambda x, t, c: sp_fn(params, x, t, c)
+            else:
+                denoise = cog.make_denoise_fn(model, params)
             return sampling.sample_fewstep(
                 denoise, schedule, noise, cond,
                 timestep_grid=grid,

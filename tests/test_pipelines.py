@@ -200,3 +200,48 @@ def test_cogvideox_pipeline_video_decode():
         cfg.sample_h * vcfg.spatial_factor, cfg.sample_w * vcfg.spatial_factor, 3,
     )
     assert np.isfinite(np.asarray(out.images)).all()
+
+
+def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
+    """Pipeline-level SP (sequence_parallel_mesh): latents match the
+    monolithic pipeline bit-for-bit-ish on the same seed — the user-facing
+    beyond-one-chip video path."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    base = dataclasses.replace(cog.CogVideoXConfig.tiny(), sample_frames=8)
+    vcfg = vae3d.VAE3DConfig.tiny()
+    num_frames = 1 + (8 - 1) * vcfg.temporal_factor
+    mono = cog.CogVideoXTransformer3D(cfg=base)
+    lat = jnp.zeros((1, 16, 8, base.sample_h, base.sample_w))
+    text = jnp.zeros((1, base.max_text_len, base.text_dim))
+    params = mono.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text)["params"]
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(3), (1, base.max_text_len, base.text_dim)
+    )
+    kw = dict(
+        prompt_embeds=embeds, num_inference_steps=4, num_frames=num_frames,
+        height=base.sample_h * vcfg.spatial_factor,
+        width=base.sample_w * vcfg.spatial_factor,
+        seed=8888, output_type="latent",
+    )
+    ref = CogVideoXPipeline(mono, params, vae_cfg=vcfg)(**kw).latents
+
+    sp_cfg = dataclasses.replace(base, sequence_parallel_axis="sp")
+    spm = cog.CogVideoXTransformer3D(cfg=sp_cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    out = CogVideoXPipeline(
+        spm, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh
+    )(**kw).latents
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-5, rtol=3e-5,
+    )
+
+    # mismatched knobs fail loudly
+    import pytest
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        CogVideoXPipeline(spm, params, vae_cfg=vcfg)
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        CogVideoXPipeline(mono, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh)

@@ -1,0 +1,176 @@
+"""Few-step inference CLI — the README recipes (§3.4) as one command.
+
+    python -m tdm_tpu.cli.generate \\
+        --model <pipeline-dir | diffusers-dir | org/name> \\
+        --prompt "a cat" --num_inference_steps 4 --seed 8888 \\
+        --lora tdm_lora.safetensors --lora_scale 0.125 \\
+        --output out/cat.png
+
+Covers the reference's three inference recipes with their exact knobs:
+SD3 (`/root/reference/README.md:48-67`: LoRA scale 0.125, flow_shift 1-6,
+guidance_scale 1.0, seed 8888), Dreamshaper/SD1.5 (`README.md:95-107`,
+seed 317), CogVideoX (`README.md:116-138`: 49 frames, 4 steps, GIF export
+at fps 8). Prompt conditioning comes from the pipeline's attached text
+encoders when present, else from an offline T5 embedding cache built with
+`python -m tdm_tpu.cli.build_cache` (training is prompt-only, so embeddings
+precompute — SURVEY.md §2 text-encoder row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import os
+import sys
+from typing import Optional
+
+
+def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True,
+                   help="pipeline dir, diffusers checkpoint dir, or repo id")
+    p.add_argument("--prompt", nargs="+", required=True)
+    p.add_argument("--negative_prompt", nargs="+", default=None)
+    p.add_argument("--num_inference_steps", type=int, default=4)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--num_frames", type=int, default=None,
+                   help="video pipelines only (CogVideoX: 49)")
+    p.add_argument("--fps", type=int, default=8, help="GIF export rate")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--lora", default=None,
+                   help="kohya/diffusers LoRA safetensors to load")
+    p.add_argument("--lora_scale", type=float, default=1.0,
+                   help="adapter scale (TDM releases use 0.125)")
+    p.add_argument("--flow_shift", type=float, default=None,
+                   help="SD3 DPM-Solver sigma shift (recipe: 1-6)")
+    p.add_argument("--embedding_cache", default=None,
+                   help="offline T5 cache (.npz from cli/build_cache) used "
+                        "when the pipeline has no text encoders attached")
+    p.add_argument("--output", default="out.png",
+                   help="output file (single prompt) or directory")
+    p.add_argument("--output_type", default=None,
+                   choices=(None, "image", "video", "latent"))
+    p.add_argument("--revision", default=None)
+    p.add_argument("--model_config", default=None,
+                   help="JSON dict of config overrides for diffusers-layout "
+                        'checkpoints, e.g. \'{"attn_impl": "xla"}\'')
+    return p.parse_args(argv)
+
+
+def _cached_embeds(cache_path: str, prompts: list[str]):
+    """(embeds [B,L,D], masks [B,L]) looked up by exact prompt text."""
+    import numpy as np
+
+    from tdm_tpu.data.prompts import EmbeddingCache
+
+    cache = EmbeddingCache.load(cache_path)
+    idx = []
+    for pr in prompts:
+        try:
+            idx.append(cache.prompts.index(pr))
+        except ValueError:
+            raise SystemExit(
+                f"prompt {pr!r} is not in the embedding cache "
+                f"({cache_path}); rebuild it with cli/build_cache"
+            )
+    sel = np.asarray(idx)
+    return (
+        cache.embeds[sel].astype(np.float32),
+        cache.masks[sel].astype(np.int32),
+    )
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    args = parse_args(argv)
+    import numpy as np
+
+    from tdm_tpu.pipelines import from_pretrained
+    from tdm_tpu.train import validation
+
+    kwargs = {}
+    if args.model_config:
+        kwargs["model_config"] = json.loads(args.model_config)
+    pipe = from_pretrained(args.model, revision=args.revision, **kwargs)
+
+    if args.lora:
+        # README.md:49-50: load_lora_weights(...) + set_adapters(['tdm'],[s])
+        pipe.load_lora_weights(args.lora, adapter_name="tdm")
+        pipe.set_adapters(["tdm"], [args.lora_scale])
+
+    call = dict(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        seed=args.seed,
+    )
+    for k in ("height", "width", "num_frames", "flow_shift", "output_type"):
+        v = getattr(args, k)
+        if v is not None:
+            call[k] = v
+    if args.negative_prompt is not None:
+        call["negative_prompt"] = list(args.negative_prompt)
+    prompts = list(args.prompt)
+
+    accepted = inspect.signature(type(pipe).__call__).parameters
+    call = {k: v for k, v in call.items() if k in accepted}
+
+    has_encoders = bool(
+        getattr(pipe, "text_encoder", None)
+        or getattr(pipe, "text_encoders", None)
+    )
+    if has_encoders:
+        out = pipe(prompts, **call)
+    elif args.embedding_cache:
+        # CogVideoX conditions on the embedding sequence alone (its joint
+        # attention carries no key-padding mask — models/cogvideox.py)
+        is_cog = type(pipe).__name__.startswith("CogVideoX")
+        embeds, masks = _cached_embeds(args.embedding_cache, prompts)
+        if "negative_prompt" in call:
+            n_embeds, n_masks = _cached_embeds(
+                args.embedding_cache, call.pop("negative_prompt")
+            )
+            call["negative_embeds"] = (
+                n_embeds if is_cog else (n_embeds, n_masks)
+            )
+        pe = embeds if is_cog else (embeds, masks)
+        out = pipe(prompt_embeds=pe, **call)
+    else:
+        raise SystemExit(
+            "this pipeline has no text encoders attached — pass "
+            "--embedding_cache (built with cli/build_cache) or load a "
+            "pipeline dir that bundles encoders"
+        )
+
+    imgs = np.asarray(out.images if out.images is not None else out.latents)
+    if call.get("output_type") == "latent":
+        path = args.output if args.output.endswith(".npy") else (
+            args.output + ".npy"
+        )
+        np.save(path, imgs)
+        print(f"wrote {path} {imgs.shape}")
+        return
+    is_video = imgs.ndim == 5  # [B, F, H, W, 3]
+    single = len(prompts) == 1
+    ext = ".gif" if is_video else ".png"
+    if single and args.output.lower().endswith((".png", ".gif")):
+        targets = [args.output]
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        targets = [
+            os.path.join(args.output, f"{i:03d}{ext}")
+            for i in range(len(prompts))
+        ]
+    for i, path in enumerate(targets):
+        if is_video:
+            validation.save_video_gif(path, imgs[i], fps=args.fps)
+        else:
+            validation.save_png(
+                path, (np.clip(imgs[i], 0, 1) * 255).astype(np.uint8)
+            )
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

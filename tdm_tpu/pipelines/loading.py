@@ -1,8 +1,9 @@
-"""`from_pretrained` — directory-based pipeline assembly.
+"""`from_pretrained` — pipeline assembly from a directory or hub repo id.
 
 The reference's primary verb (`StableDiffusion3Pipeline.from_pretrained`,
-`DiffusionPipeline.from_pretrained`, §3.4) materialized for our artifact
-layout. A pipeline directory is:
+`DiffusionPipeline.from_pretrained`, §3.4) materialized for TWO layouts:
+
+1. Our artifact layout (written by `save_pretrained` / the train CLI):
 
     my_pipe/
       pipeline.json               {"family": "pixart", "model": {...},
@@ -13,8 +14,16 @@ layout. A pipeline directory is:
       text_encoder.safetensors    optional (T5/CLIP) params
       tokenizer/                  optional HF tokenizer dir
 
-`save_pretrained(pipe_dir, ...)` writes the same layout from live params, so
-train CLI outputs round-trip into pipelines with two lines.
+2. A stock **diffusers checkpoint** (`model_index.json` + `transformer/`
+   or `unet/` + `vae/` subfolders): the `_class_name` picks the family,
+   each subfolder's `config.json` maps onto our Flax config, and the
+   torch state dicts run through `io/convert`'s strict converters on the
+   fly — `from_pretrained("PixArt-alpha/PixArt-XL-2-512x512")` works
+   exactly like the reference's call (`/root/reference/src/main.py:160-176`)
+   once the repo is in the local HF hub cache (io/hub.resolve_pretrained).
+
+`save_pretrained(pipe_dir, ...)` writes layout 1 from live params, so train
+CLI outputs round-trip into pipelines with two lines.
 """
 
 from __future__ import annotations
@@ -38,11 +47,19 @@ def save_pretrained(
     vae_params: Any = None,
     vae_config: Optional[dict] = None,
     text_encoder_params: Any = None,
+    text_encoder_config: Optional[dict] = None,
+    tokenizer_dir: Optional[str] = None,
 ) -> None:
+    """`text_encoder_config` describes how to rebuild the bundled encoder:
+    {"family": "t5"|"clip", "config": {<T5Config/CLIPTextConfig kwargs>},
+     "tokenizer": {"kind": "hf"} | {"kind": "hash", "vocab_size": N}}.
+    `tokenizer_dir` copies an HF tokenizer folder into `<path>/tokenizer`."""
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r} (one of {FAMILIES})")
     os.makedirs(path, exist_ok=True)
     meta = {"family": family, "model": model_config or {}, "vae": vae_config or {}}
+    if text_encoder_config is not None:
+        meta["text_encoder"] = text_encoder_config
     with open(os.path.join(path, "pipeline.json"), "w") as f:
         json.dump(meta, f, indent=1)
     params_io.save_params(
@@ -56,6 +73,12 @@ def save_pretrained(
         params_io.save_params(
             text_encoder_params, os.path.join(path, "text_encoder.safetensors")
         )
+    if tokenizer_dir is not None:
+        import shutil
+
+        dst = os.path.join(path, "tokenizer")
+        if os.path.abspath(tokenizer_dir) != os.path.abspath(dst):
+            shutil.copytree(tokenizer_dir, dst, dirs_exist_ok=True)
 
 
 def _fix(conf: dict) -> dict:
@@ -70,9 +93,29 @@ def _fix(conf: dict) -> dict:
     return out
 
 
-def from_pretrained(path: str, **kwargs):
-    """Assemble the right pipeline class from a pipeline directory. Extra
-    kwargs pass through to the pipeline constructor (e.g. flow_shift)."""
+def from_pretrained(
+    path: str,
+    *,
+    revision: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+    **kwargs,
+):
+    """Assemble the right pipeline class from a local pipeline directory, a
+    diffusers checkpoint directory, or an `org/name` hub repo id (resolved
+    against the local HF hub cache — io/hub). Extra kwargs pass through to
+    the pipeline constructor (e.g. flow_shift)."""
+    from tdm_tpu.io import hub
+
+    path = hub.resolve_pretrained(path, revision=revision, cache_dir=cache_dir)
+    if not os.path.exists(os.path.join(path, "pipeline.json")):
+        if os.path.exists(os.path.join(path, "model_index.json")):
+            # model_config= overrides fields the diffusers config does not
+            # carry (e.g. {"attn_impl": "xla", "remat": True})
+            return _from_diffusers(path, **kwargs)
+        raise FileNotFoundError(
+            f"{path!r} has neither pipeline.json (tdm_tpu layout) nor "
+            "model_index.json (diffusers layout)"
+        )
     with open(os.path.join(path, "pipeline.json")) as f:
         meta = json.load(f)
     family = meta["family"]
@@ -83,6 +126,7 @@ def from_pretrained(path: str, **kwargs):
     vparams = params_io.load_params(vae_file) if os.path.exists(vae_file) else None
     mconf = _fix(meta.get("model", {}))
     vconf = _fix(meta.get("vae", {}))
+    kwargs = {**_load_bundled_text_encoder(path, meta, family), **kwargs}
 
     if family == "pixart":
         from tdm_tpu.models import pixart, vae as vae_lib
@@ -130,3 +174,303 @@ def from_pretrained(path: str, **kwargs):
             vae_params=vparams, vae_cfg=vcfg, **kwargs,
         )
     raise ValueError(f"unknown family {family!r}")
+
+
+def _load_bundled_text_encoder(path: str, meta: dict, family: str) -> dict:
+    """Rebuild a bundled single text encoder (layout-1 `text_encoder` meta
+    block + text_encoder.safetensors + tokenizer/) into the pipeline kwargs
+    {text_encoder, text_encoder_params, tokenizer}. SD3's triple-encoder
+    stack is not bundled this way — its pipelines take `text_encoders=`
+    directly (pipelines/sd3.py) or precomputed prompt_embeds."""
+    spec = meta.get("text_encoder")
+    enc_file = os.path.join(path, "text_encoder.safetensors")
+    if not spec or not os.path.exists(enc_file) or family == "sd3":
+        return {}
+    enc_family = spec.get("family", "t5")
+    conf = _fix(spec.get("config", {}))
+    if enc_family == "t5":
+        from tdm_tpu.models import t5
+
+        encoder = t5.T5Encoder(cfg=t5.T5Config(**conf))
+    elif enc_family == "clip":
+        from tdm_tpu.models import clip as clip_mod
+
+        encoder = clip_mod.CLIPTextEncoder(cfg=clip_mod.CLIPTextConfig(**conf))
+    else:
+        raise ValueError(f"unknown text-encoder family {enc_family!r}")
+    tok_spec = spec.get("tokenizer", {"kind": "hf"})
+    tok_dir = os.path.join(path, "tokenizer")
+    if tok_spec.get("kind") == "hash":
+        from tdm_tpu.data.tokenizer import HashTokenizer
+
+        tokenizer = HashTokenizer(
+            vocab_size=tok_spec.get("vocab_size", 30000),
+            eos_id=tok_spec.get("eos_id"),
+        )
+    elif os.path.isdir(tok_dir):
+        from tdm_tpu.data.tokenizer import HFTokenizer
+
+        tokenizer = HFTokenizer(tok_dir)
+    else:
+        tokenizer = None  # encoder still usable via encode with own ids
+    return {
+        "text_encoder": encoder,
+        "text_encoder_params": params_io.load_params(enc_file),
+        "tokenizer": tokenizer,
+    }
+
+
+# ---------------------------------------------------------------------------
+# diffusers checkpoint layout (model_index.json + subfolders)
+# ---------------------------------------------------------------------------
+
+# ordered: 'StableDiffusion3*' must match before 'StableDiffusion*'
+_DIFFUSERS_FAMILIES = (
+    ("StableDiffusion3", "sd3"),
+    ("PixArt", "pixart"),
+    ("CogVideoX", "cogvideox"),
+    ("StableDiffusion", "sd15"),
+    ("LatentConsistency", "sd15"),  # Dreamshaper-LCM style SD1.5 derivative
+)
+
+
+def _family_from_class(class_name: str) -> str:
+    for prefix, family in _DIFFUSERS_FAMILIES:
+        if class_name.startswith(prefix):
+            return family
+    raise ValueError(
+        f"unsupported diffusers pipeline class {class_name!r} "
+        f"(supported families: {FAMILIES})"
+    )
+
+
+def _subconfig(path: str, subfolder: str) -> dict:
+    with open(os.path.join(path, subfolder, "config.json")) as f:
+        return json.load(f)
+
+
+def _mapped(hf: dict, mapping: dict[str, str]) -> dict:
+    """Pick the intersection of a diffusers config with our dataclass
+    fields, renaming keys; absent keys keep our defaults."""
+    return {ours: hf[theirs] for theirs, ours in mapping.items() if theirs in hf}
+
+
+def _pixart_config(hf: dict):
+    from tdm_tpu.models import pixart
+
+    kw = _mapped(hf, {
+        "sample_size": "sample_size", "patch_size": "patch_size",
+        "in_channels": "in_channels", "out_channels": "out_channels",
+        "num_layers": "num_layers", "num_attention_heads": "num_heads",
+        "attention_head_dim": "head_dim", "caption_channels": "caption_dim",
+    })
+    return dataclasses.replace(pixart.PixArtConfig(), **kw)
+
+
+def _sd3_config(hf: dict):
+    from tdm_tpu.models import mmdit_sd3
+
+    kw = _mapped(hf, {
+        "sample_size": "sample_size", "patch_size": "patch_size",
+        "in_channels": "in_channels", "out_channels": "out_channels",
+        "num_layers": "num_layers", "num_attention_heads": "num_heads",
+        "attention_head_dim": "head_dim",
+        "joint_attention_dim": "context_dim",
+        "pooled_projection_dim": "pooled_dim",
+        "pos_embed_max_size": "pos_embed_max_size",
+    })
+    if hf.get("qk_norm") == "rms_norm":
+        kw["qk_norm"] = "rms"
+    if hf.get("dual_attention_layers"):
+        kw["dual_attention_layers"] = tuple(hf["dual_attention_layers"])
+    return dataclasses.replace(mmdit_sd3.MMDiTConfig(), **kw)
+
+
+def _unet_config(hf: dict):
+    from tdm_tpu.models import unet_sd15
+
+    kw = _mapped(hf, {
+        "in_channels": "in_channels", "out_channels": "out_channels",
+        "layers_per_block": "layers_per_block",
+        "cross_attention_dim": "context_dim",
+        "norm_num_groups": "norm_groups",
+    })
+    if "block_out_channels" in hf:
+        kw["block_widths"] = tuple(hf["block_out_channels"])
+    # SD1.5's `attention_head_dim: 8` is (historically) the HEAD COUNT —
+    # diffusers' UNet treats the int form as heads (their config quirk)
+    heads = hf.get("attention_head_dim")
+    if isinstance(heads, int):
+        kw["num_heads"] = heads
+    return dataclasses.replace(unet_sd15.UNetConfig(), **kw)
+
+
+def _cogvideox_config(hf: dict):
+    from tdm_tpu.models import cogvideox as cog
+
+    kw = _mapped(hf, {
+        "in_channels": "in_channels", "out_channels": "out_channels",
+        "patch_size": "patch_size", "num_layers": "num_layers",
+        "num_attention_heads": "num_heads", "attention_head_dim": "head_dim",
+        "text_embed_dim": "text_dim", "time_embed_dim": "time_embed_dim",
+        "max_text_seq_length": "max_text_len",
+        "sample_height": "sample_h", "sample_width": "sample_w",
+        "use_rotary_positional_embeddings": "use_rotary",
+    })
+    if "sample_frames" in hf:  # HF counts PIXEL frames; we hold latent frames
+        tcr = hf.get("temporal_compression_ratio", 4)
+        kw["sample_frames"] = (hf["sample_frames"] - 1) // tcr + 1
+    return dataclasses.replace(cog.CogVideoXConfig(), **kw)
+
+
+def _load_diffusers_vae(path: str):
+    """vae/ subfolder → (decoder_module, params, extra pipeline kwargs).
+    Returns (None, None, {}) when absent or an unsupported class."""
+    from tdm_tpu.io import convert
+
+    conf_file = os.path.join(path, "vae", "config.json")
+    if not os.path.exists(conf_file):
+        return None, None, {}
+    hf = _subconfig(path, "vae")
+    cls = hf.get("_class_name", "")
+    sd = convert.load_torch_state_dict(os.path.join(path, "vae"))
+    if cls == "AutoencoderKLCogVideoX":
+        from tdm_tpu.models import vae3d
+
+        kw = _mapped(hf, {
+            "latent_channels": "latent_channels",
+            "layers_per_block": "layers_per_block",
+            "norm_num_groups": "norm_groups",
+            "scaling_factor": "scaling_factor",
+            "temporal_compression_ratio": "temporal_factor",
+        })
+        if "block_out_channels" in hf:
+            kw["block_widths"] = tuple(hf["block_out_channels"])
+        vcfg = dataclasses.replace(vae3d.VAE3DConfig(), **kw)
+        tree = convert.to_jax(convert.vae3d_decoder_params(
+            sd, layers_per_block=vcfg.layers_per_block,
+            n_stages=len(vcfg.block_widths),
+        ))
+        return vae3d.VAE3DDecoder(cfg=vcfg), tree, {"vae_cfg": vcfg}
+    if cls == "AutoencoderTiny":
+        from tdm_tpu.models import vae as vae_lib
+
+        kw = _mapped(hf, {
+            "latent_channels": "latent_channels",
+            "scaling_factor": "scaling_factor",
+            "shift_factor": "shift_factor",
+        })
+        if kw.get("shift_factor") is None:
+            kw.pop("shift_factor", None)
+        # TAESD stage topology from the HF AutoencoderTiny fields:
+        # num_decoder_blocks [3,3,3,1] = 3 upsampling stages of 3 blocks +
+        # the final pre-conv_out block
+        if hf.get("decoder_block_out_channels"):
+            kw["width"] = hf["decoder_block_out_channels"][0]
+        if hf.get("num_decoder_blocks"):
+            nb = hf["num_decoder_blocks"]
+            kw["num_stages"] = len(nb) - 1
+            kw["blocks_per_stage"] = nb[0]
+        vcfg = dataclasses.replace(vae_lib.TAESDConfig(), **kw)
+        tree = convert.to_jax(convert.taesd_params(
+            sd, num_stages=vcfg.num_stages,
+            blocks_per_stage=vcfg.blocks_per_stage,
+        )["decoder"])
+        return (
+            vae_lib.TAESDDecoder(cfg=vcfg), tree,
+            {"vae_scaling": vcfg.scaling_factor, "vae_range": "unit"},
+        )
+    if cls == "AutoencoderKL":
+        from tdm_tpu.models import vae as vae_lib
+
+        kw = _mapped(hf, {
+            "latent_channels": "latent_channels",
+            "layers_per_block": "layers_per_block",
+            "norm_num_groups": "norm_groups",
+            "scaling_factor": "scaling_factor",
+            "shift_factor": "shift_factor",
+        })
+        if kw.get("shift_factor") is None:
+            kw.pop("shift_factor", None)
+        if "block_out_channels" in hf:
+            kw["block_widths"] = tuple(hf["block_out_channels"])
+        vcfg = dataclasses.replace(vae_lib.KLVAEConfig(), **kw)
+        tree = convert.to_jax(convert.klvae_params(
+            sd, layers_per_block=vcfg.layers_per_block,
+            n_stages=len(vcfg.block_widths),
+        )["decoder"])
+        return (
+            vae_lib.KLDecoder(cfg=vcfg), tree,
+            {"vae_scaling": vcfg.scaling_factor, "vae_range": "pm1"},
+        )
+    return None, None, {}
+
+
+def _from_diffusers(path: str, model_config: Optional[dict] = None, **kwargs):
+    """Assemble a pipeline directly from a diffusers checkpoint directory:
+    config.json → Flax config, torch safetensors → strict converters. The
+    reference's `from_pretrained` download+bind step
+    (/root/reference/src/main.py:160-176), minus the network.
+    `model_config` overrides derived config fields (same dict form as the
+    pipeline.json 'model' block, e.g. {"attn_impl": "xla", "remat": True})."""
+    from tdm_tpu.io import convert
+
+    with open(os.path.join(path, "model_index.json")) as f:
+        index = json.load(f)
+    family = _family_from_class(index.get("_class_name", ""))
+
+    sub = "unet" if family == "sd15" else "transformer"
+    hf = _subconfig(path, sub)
+    sd = convert.load_torch_state_dict(os.path.join(path, sub))
+    vae_dec, vae_params, vae_kw = _load_diffusers_vae(path)
+    vae_kw.update(kwargs)  # explicit kwargs win over derived VAE settings
+    override = _fix(model_config or {})
+
+    if family == "pixart":
+        from tdm_tpu.models import pixart
+        from tdm_tpu.pipelines.pixart import PixArtPipeline
+
+        cfg = dataclasses.replace(_pixart_config(hf), **override)
+        tparams = convert.to_jax(convert.pixart_params(sd))
+        return PixArtPipeline(
+            pixart.PixArtTransformer2D(cfg=cfg), tparams,
+            vae_decoder=vae_dec, vae_params=vae_params, **vae_kw,
+        )
+    if family == "sd3":
+        from tdm_tpu.models import mmdit_sd3
+        from tdm_tpu.pipelines.sd3 import SD3Pipeline
+
+        cfg = dataclasses.replace(_sd3_config(hf), **override)
+        tparams = convert.to_jax(convert.sd3_params(sd))
+        vae_kw.setdefault(
+            "vae_shift",
+            vae_dec.cfg.shift_factor if vae_dec is not None else 0.0,
+        )
+        return SD3Pipeline(
+            mmdit_sd3.SD3Transformer2D(cfg=cfg), tparams,
+            vae_decoder=vae_dec, vae_params=vae_params, **vae_kw,
+        )
+    if family == "sd15":
+        from tdm_tpu.models import unet_sd15
+        from tdm_tpu.pipelines.sd15 import SD15Pipeline
+
+        cfg = dataclasses.replace(_unet_config(hf), **override)
+        tparams = convert.to_jax(convert.unet_sd15_params(
+            sd, layers_per_block=cfg.layers_per_block,
+            n_stages=len(cfg.block_widths),
+        ))
+        return SD15Pipeline(
+            unet_sd15.UNet2DCondition(cfg=cfg), tparams,
+            vae_decoder=vae_dec, vae_params=vae_params, **vae_kw,
+        )
+    if family == "cogvideox":
+        from tdm_tpu.models import cogvideox as cog
+        from tdm_tpu.pipelines.cogvideox import CogVideoXPipeline
+
+        cfg = dataclasses.replace(_cogvideox_config(hf), **override)
+        tparams = convert.to_jax(convert.cogvideox_params(sd))
+        return CogVideoXPipeline(
+            cog.CogVideoXTransformer3D(cfg=cfg), tparams,
+            vae_decoder=vae_dec, vae_params=vae_params, **vae_kw,
+        )
+    raise AssertionError(f"unhandled family {family!r}")

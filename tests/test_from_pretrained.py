@@ -1,5 +1,10 @@
-"""from_pretrained / save_pretrained round-trip — the reference's primary
-pipeline verb on our artifact layout."""
+"""from_pretrained — the reference's primary pipeline verb, on all three
+sources: our save_pretrained layout, a stock diffusers checkpoint directory
+(model_index.json + subfolders, converted on the fly), and an `org/name`
+repo id resolved through the local HF hub cache."""
+
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,3 +58,224 @@ def test_pixart_pipeline_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.images), np.asarray(out2.images), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# diffusers checkpoint layout
+# ---------------------------------------------------------------------------
+
+
+def _write_diffusers_pixart(root) -> pixart.PixArtConfig:
+    """Synthetic PixArt diffusers checkout: model_index + transformer/ (HF
+    config + torch-layout safetensors) + AutoencoderTiny vae/."""
+    from safetensors.numpy import save_file
+
+    from tests.test_convert import synthetic_pixart_sd, synthetic_taesd_sd
+
+    cfg = pixart.PixArtConfig.tiny()
+    os.makedirs(os.path.join(root, "transformer"))
+    os.makedirs(os.path.join(root, "vae"))
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "PixArtAlphaPipeline"}, f)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "PixArtTransformer2DModel",
+            "sample_size": cfg.sample_size, "patch_size": cfg.patch_size,
+            "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+            "num_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "attention_head_dim": cfg.head_dim,
+            "caption_channels": cfg.caption_dim,
+        }, f)
+    save_file(
+        synthetic_pixart_sd(cfg),
+        os.path.join(root, "transformer", "diffusion_pytorch_model.safetensors"),
+    )
+    vcfg = vae_lib.TAESDConfig(width=8, num_stages=1, blocks_per_stage=1)
+    with open(os.path.join(root, "vae", "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "AutoencoderTiny",
+            "latent_channels": vcfg.latent_channels, "scaling_factor": 1.0,
+            "decoder_block_out_channels": [8, 8],
+            "num_decoder_blocks": [1, 1],
+        }, f)
+    save_file(
+        synthetic_taesd_sd(vcfg),
+        os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"),
+    )
+    return cfg
+
+
+def test_from_diffusers_checkpoint_dir(tmp_path):
+    root = str(tmp_path / "hf_ckpt")
+    os.makedirs(root)
+    cfg = _write_diffusers_pixart(root)
+    pipe = from_pretrained(
+        root, model_config={"dtype": "float32", "attn_impl": "xla"}
+    )
+    from tdm_tpu.pipelines import PixArtPipeline
+
+    assert isinstance(pipe, PixArtPipeline)
+    mc = pipe.transformer.cfg
+    assert (mc.num_layers, mc.num_heads, mc.head_dim, mc.caption_dim) == (
+        cfg.num_layers, cfg.num_heads, cfg.head_dim, cfg.caption_dim,
+    )
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.caption_dim)),
+        jnp.ones((1, 8), jnp.int32),
+    )
+    out = pipe(
+        prompt_embeds=emb, num_inference_steps=4, height=128, width=128,
+        seed=42,
+    )
+    assert out.images.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out.images)).all()
+
+    # identical to converting by hand and using the direct constructor
+    from tdm_tpu.io import convert
+
+    sd = convert.load_torch_state_dict(os.path.join(root, "transformer"))
+    params = convert.to_jax(convert.pixart_params(sd))
+    vsd = convert.load_torch_state_dict(os.path.join(root, "vae"))
+    vcfg = vae_lib.TAESDConfig(width=8, num_stages=1, blocks_per_stage=1)
+    vparams = convert.to_jax(
+        convert.taesd_params(vsd, num_stages=1, blocks_per_stage=1)["decoder"]
+    )
+    direct = PixArtPipeline(
+        pixart.PixArtTransformer2D(cfg=cfg), params,
+        vae_decoder=vae_lib.TAESDDecoder(cfg=vcfg), vae_params=vparams,
+    )
+    out2 = direct(
+        prompt_embeds=emb, num_inference_steps=4, height=128, width=128,
+        seed=42,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.images), np.asarray(out2.images), atol=1e-6
+    )
+
+
+def test_from_diffusers_sd3_checkpoint(tmp_path):
+    from safetensors.numpy import save_file
+
+    from tdm_tpu.models import mmdit_sd3
+    from tests.test_convert_models import _build_sd3_dict
+
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    root = str(tmp_path / "sd3_ckpt")
+    os.makedirs(os.path.join(root, "transformer"))
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "StableDiffusion3Pipeline"}, f)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "SD3Transformer2DModel",
+            "sample_size": cfg.sample_size, "patch_size": cfg.patch_size,
+            "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+            "num_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "attention_head_dim": cfg.head_dim,
+            "joint_attention_dim": cfg.context_dim,
+            "pooled_projection_dim": cfg.pooled_dim,
+            "pos_embed_max_size": cfg.pos_embed_max_size,
+        }, f)
+    save_file(
+        _build_sd3_dict(cfg),
+        os.path.join(root, "transformer", "diffusion_pytorch_model.safetensors"),
+    )
+    pipe = from_pretrained(
+        root, model_config={"dtype": "float32", "attn_impl": "xla"}
+    )
+    from tdm_tpu.pipelines import SD3Pipeline
+
+    assert isinstance(pipe, SD3Pipeline)
+    embeds = (
+        jax.random.normal(jax.random.PRNGKey(0), (1, 6, cfg.context_dim)),
+        jax.random.normal(jax.random.PRNGKey(1), (1, cfg.pooled_dim)),
+    )
+    out = pipe(
+        prompt_embeds=embeds, num_inference_steps=4, height=64, width=64,
+        seed=8888, output_type="latent",
+    )
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_from_pretrained_repo_id_via_hub_cache(tmp_path, monkeypatch):
+    """`from_pretrained("org/name")` resolves through the HF hub cache."""
+    cache = tmp_path / "hub"
+    commit = "c" * 40
+    repo = cache / "models--tdm--pixart-tiny"
+    snap = repo / "snapshots" / commit
+    os.makedirs(snap)
+    _write_diffusers_pixart(str(snap))
+    os.makedirs(repo / "refs")
+    (repo / "refs" / "main").write_text(commit)
+    monkeypatch.setenv("HF_HUB_CACHE", str(cache))
+
+    cfg = pixart.PixArtConfig.tiny()
+    pipe = from_pretrained(
+        "tdm/pixart-tiny",
+        model_config={"dtype": "float32", "attn_impl": "xla"},
+    )
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.caption_dim)),
+        jnp.ones((1, 8), jnp.int32),
+    )
+    out = pipe(
+        prompt_embeds=emb, num_inference_steps=2, height=128, width=128,
+        seed=1,
+    )
+    assert out.images.shape == (1, 32, 32, 3)
+
+
+def test_bundled_text_encoder_roundtrip(tmp_path):
+    """Layout-1 pipelines can bundle a single text encoder: the saved
+    text_encoder.safetensors + pipeline.json 'text_encoder' block rebuild
+    the encoder+tokenizer, so `pipe(["a cat"])` works without prompt_embeds
+    (the reference always loads encoders, src/main.py:160-165)."""
+    import dataclasses
+
+    from tdm_tpu.models import t5
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask
+    )["params"]
+
+    tcfg = t5.T5Config.tiny()
+    assert tcfg.d_model == cfg.caption_dim
+    enc = t5.T5Encoder(cfg=tcfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    eparams = enc.init(jax.random.PRNGKey(1), ids, mask)["params"]
+
+    d = str(tmp_path / "pipe_with_encoder")
+    save_pretrained(
+        d, family="pixart", transformer_params=params,
+        model_config={
+            "sample_size": cfg.sample_size, "num_layers": cfg.num_layers,
+            "num_heads": cfg.num_heads, "head_dim": cfg.head_dim,
+            "caption_dim": cfg.caption_dim, "dtype": "float32",
+            "attn_impl": "xla",
+        },
+        text_encoder_params=eparams,
+        text_encoder_config={
+            "family": "t5",
+            "config": {
+                f.name: getattr(tcfg, f.name)
+                for f in dataclasses.fields(tcfg) if f.name != "dtype"
+            } | {"dtype": "float32"},
+            "tokenizer": {"kind": "hash", "vocab_size": tcfg.vocab_size},
+        },
+    )
+    pipe = from_pretrained(d)
+    assert pipe.text_encoder is not None and pipe.tokenizer is not None
+    emb, m = pipe.encode_prompt(["a cat on a mat"])
+    assert emb.shape[-1] == cfg.caption_dim
+
+    out = pipe(
+        ["a cat on a mat"], num_inference_steps=2, height=128, width=128,
+        seed=3, output_type="latent",
+    )
+    assert np.isfinite(np.asarray(out.latents)).all()

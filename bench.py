@@ -82,7 +82,7 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
     }
 
 
-def bench_sd3_4nfe(batch: int = 4, iters: int = 5) -> dict:
+def bench_sd3_4nfe(batch: int = 4, iters: int = 5, quant: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -108,14 +108,23 @@ def bench_sd3_4nfe(batch: int = 4, iters: int = 5) -> dict:
         return solvers.sample_dpm_solver(fn, grid, noise, (ctx, pooled))
 
     noise = jax.random.normal(jax.random.PRNGKey(1), lat.shape, jnp.bfloat16)
-    sample(params, noise, ctx, pooled).block_until_ready()
+    if quant:
+        # dynamic int8 matmuls (ops/quant.py) — scope wraps the TRACE; the
+        # compiled executable keeps the rerouting
+        from tdm_tpu.ops import quant as quant_lib
+
+        with quant_lib.quantize_int8():
+            sample(params, noise, ctx, pooled).block_until_ready()
+    else:
+        sample(params, noise, ctx, pooled).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = sample(params, noise, ctx, pooled)
     out.block_until_ready()
     ips = batch * iters / (time.perf_counter() - t0)
+    name = "sd3_1024px_4nfe_int8" if quant else "sd3_1024px_4nfe"
     return {
-        "metric": "sd3_1024px_4nfe_images_per_sec_per_chip",
+        "metric": f"{name}_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/s/chip",
         "vs_baseline": round(ips / 2.0, 3),
@@ -247,6 +256,7 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
     fn = {
         "sd3": bench_sd3_4nfe,
+        "sd3_int8": lambda: bench_sd3_4nfe(quant=True),
         "pixart": bench_pixart_4nfe,
         "train": bench_tdm_train_step,
         "video": bench_cogvideox_4nfe,

@@ -53,6 +53,9 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
                    help="output file (single prompt) or directory")
     p.add_argument("--output_type", default=None,
                    choices=(None, "image", "video", "latent"))
+    p.add_argument("--quant", default=None, choices=(None, "int8"),
+                   help="dynamic int8 MXU matmuls for the big Dense layers "
+                        "(~1.7x on v5e; ops/quant.py)")
     p.add_argument("--revision", default=None)
     p.add_argument("--model_config", default=None,
                    help="JSON dict of config overrides for diffusers-layout "
@@ -99,6 +102,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         # README.md:49-50: load_lora_weights(...) + set_adapters(['tdm'],[s])
         pipe.load_lora_weights(args.lora, adapter_name="tdm")
         pipe.set_adapters(["tdm"], [args.lora_scale])
+    if args.quant:
+        pipe.quant = args.quant
 
     call = dict(
         num_inference_steps=args.num_inference_steps,
@@ -148,7 +153,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         path = args.output if args.output.endswith(".npy") else (
             args.output + ".npy"
         )
-        np.save(path, imgs)
+        # bf16 latents are not a portable npy dtype — store fp32
+        np.save(path, np.asarray(imgs, np.float32))
         print(f"wrote {path} {imgs.shape}")
         return
     is_video = imgs.ndim == 5  # [B, F, H, W, 3]

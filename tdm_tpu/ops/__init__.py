@@ -1,3 +1,3 @@
-"""Pallas TPU kernels + XLA fallbacks (flash attention)."""
+"""Pallas TPU kernels + XLA fallbacks (flash attention) + int8 inference."""
 
-from tdm_tpu.ops import attention, ring_attention  # noqa: F401
+from tdm_tpu.ops import attention, quant, ring_attention  # noqa: F401

@@ -47,6 +47,9 @@ class DiffusionPipelineBase:
         self._jit_cache: dict = {}
         self.base_params: Any = None
         self.params: Any = None  # base with active adapters merged
+        # 'int8' → dynamic int8 MXU matmuls for the big Dense layers
+        # (ops/quant.py; ~1.7× measured on v5e). Set `pipe.quant = "int8"`.
+        self.quant: Optional[str] = None
 
     # ---- LoRA verbs (README.md:45-50,70,96,119) ----
 
@@ -75,10 +78,27 @@ class DiffusionPipelineBase:
     # ---- jit cache ----
 
     def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:
+        key = (*key, self.quant)  # int8/bf16 variants compile separately
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._jit_cache[key] = build()
+            fn = self._jit_cache[key] = self._with_quant_scope(build())
         return fn
+
+    def _with_quant_scope(self, fn: Callable) -> Callable:
+        """Run `fn` under the active quantization scope so its FIRST call
+        (the jit trace) reroutes big Dense matmuls (ops/quant.py); later
+        calls hit the compiled executable and the scope is a no-op."""
+        if not self.quant:
+            return fn
+        from tdm_tpu.ops import quant as quant_lib
+
+        mode = self.quant
+
+        def wrapped(*args, **kwargs):
+            with quant_lib.quant_scope(mode):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     # ---- misc ----
 

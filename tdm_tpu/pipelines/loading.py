@@ -323,6 +323,102 @@ def _cogvideox_config(hf: dict):
     return dataclasses.replace(cog.CogVideoXConfig(), **kw)
 
 
+def _t5_config_from_hf(hf: dict, common: dict):
+    from tdm_tpu.models import t5
+
+    kw = _mapped(hf, {
+        "vocab_size": "vocab_size", "d_model": "d_model", "d_kv": "d_kv",
+        "num_heads": "num_heads", "d_ff": "d_ff", "num_layers": "num_layers",
+        "relative_attention_num_buckets": "rel_buckets",
+        "relative_attention_max_distance": "rel_max_distance",
+    })
+    return t5.T5Config(**{**kw, **common})
+
+
+def _clip_config_from_hf(hf: dict, common: dict):
+    from tdm_tpu.models import clip as clip_mod
+
+    kw = _mapped(hf, {
+        "vocab_size": "vocab_size", "hidden_size": "hidden",
+        "num_attention_heads": "num_heads", "num_hidden_layers": "num_layers",
+        "max_position_embeddings": "max_positions",
+        "eos_token_id": "eos_token_id", "hidden_act": "activation",
+    })
+    if "intermediate_size" in hf and "hidden_size" in hf:
+        kw["mlp_ratio"] = hf["intermediate_size"] // hf["hidden_size"]
+    # the projection head exists only on the *WithProjection variant (SD3's
+    # pooled path); plain CLIPTextModel (SD1.5) pools the final hidden state
+    archs = hf.get("architectures") or []
+    if any("WithProjection" in a for a in archs):
+        kw["projection_dim"] = hf.get("projection_dim")
+    return clip_mod.CLIPTextConfig(**{**kw, **common})
+
+
+def _load_diffusers_text_encoders(path: str, family: str, common: dict) -> dict:
+    """text_encoder*/ + tokenizer*/ subfolders → pipeline conditioning
+    kwargs. Missing subfolders are skipped (the prompt_embeds path always
+    works); present ones convert strictly. `common` forwards dtype/attn_impl
+    overrides to the encoder configs. Reference: the pipelines bind their
+    encoders inside from_pretrained (src/main.py:160-165, README.md:48)."""
+    from tdm_tpu.io import convert
+
+    def load_one(sub: str, kind: str):
+        conf_file = os.path.join(path, sub, "config.json")
+        if not os.path.exists(conf_file):
+            return None
+        hf = _subconfig(path, sub)
+        sd = convert.load_torch_state_dict(os.path.join(path, sub))
+        if kind == "t5":
+            from tdm_tpu.models import t5
+
+            model = t5.T5Encoder(cfg=_t5_config_from_hf(hf, common))
+            params = convert.to_jax(convert.t5_encoder_params(sd))
+        else:
+            from tdm_tpu.models import clip as clip_mod
+
+            model = clip_mod.CLIPTextEncoder(
+                cfg=_clip_config_from_hf(hf, common)
+            )
+            params = convert.to_jax(convert.clip_text_params(sd))
+        return model, params
+
+    def load_tok(sub: str):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            return None
+        from tdm_tpu.data.tokenizer import HFTokenizer
+
+        return HFTokenizer(d)
+
+    if family == "sd3":
+        # triple-encoder stack: CLIP-L, CLIP-G (penultimate+pooled), T5
+        pairs = {
+            "clip_l": load_one("text_encoder", "clip"),
+            "clip_g": load_one("text_encoder_2", "clip"),
+            "t5": load_one("text_encoder_3", "t5"),
+        }
+        if any(v is None for v in pairs.values()):
+            return {}
+        toks = {
+            "clip_l": load_tok("tokenizer"),
+            "clip_g": load_tok("tokenizer_2"),
+            "t5": load_tok("tokenizer_3"),
+        }
+        kw = {"text_encoders": pairs}
+        if all(v is not None for v in toks.values()):
+            kw["tokenizers"] = toks
+        return kw
+    kind = "clip" if family == "sd15" else "t5"
+    pair = load_one("text_encoder", kind)
+    if pair is None:
+        return {}
+    kw = {"text_encoder": pair[0], "text_encoder_params": pair[1]}
+    tok = load_tok("tokenizer")
+    if tok is not None:
+        kw["tokenizer"] = tok
+    return kw
+
+
 def _load_diffusers_vae(path: str):
     """vae/ subfolder → (decoder_module, params, extra pipeline kwargs).
     Returns (None, None, {}) when absent or an unsupported class."""
@@ -422,9 +518,15 @@ def _from_diffusers(path: str, model_config: Optional[dict] = None, **kwargs):
     sub = "unet" if family == "sd15" else "transformer"
     hf = _subconfig(path, sub)
     sd = convert.load_torch_state_dict(os.path.join(path, sub))
-    vae_dec, vae_params, vae_kw = _load_diffusers_vae(path)
-    vae_kw.update(kwargs)  # explicit kwargs win over derived VAE settings
     override = _fix(model_config or {})
+    common = {
+        k: override[k] for k in ("dtype", "attn_impl") if k in override
+    }
+    vae_dec, vae_params, vae_kw = _load_diffusers_vae(path)
+    vae_kw = {
+        **_load_diffusers_text_encoders(path, family, common), **vae_kw
+    }
+    vae_kw.update(kwargs)  # explicit kwargs win over derived settings
 
     if family == "pixart":
         from tdm_tpu.models import pixart

@@ -279,3 +279,155 @@ def test_bundled_text_encoder_roundtrip(tmp_path):
         seed=3, output_type="latent",
     )
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_from_diffusers_attaches_t5_encoder(tmp_path):
+    """A PixArt diffusers checkout's text_encoder/ subfolder (transformers
+    T5EncoderModel) attaches on from_pretrained, numerically matching the
+    torch model it was converted from."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    root = str(tmp_path / "hf_ckpt")
+    os.makedirs(root)
+    cfg = _write_diffusers_pixart(root)
+
+    hf_cfg = transformers.T5Config(
+        vocab_size=128, d_model=cfg.caption_dim, d_kv=8, num_heads=4,
+        d_ff=64, num_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, is_encoder_decoder=False, use_cache=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.T5EncoderModel(hf_cfg).eval()
+    enc_dir = os.path.join(root, "text_encoder")
+    os.makedirs(enc_dir)
+    with open(os.path.join(enc_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+    save_file(
+        {k: v.detach().numpy().copy() for k, v in hf.state_dict().items()},
+        os.path.join(enc_dir, "model.safetensors"),
+    )
+
+    pipe = from_pretrained(
+        root, model_config={"dtype": "float32", "attn_impl": "xla"}
+    )
+    assert pipe.text_encoder is not None
+    ids = np.random.default_rng(0).integers(0, 128, (2, 8))
+    mask = np.ones((2, 8), np.int64)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    ours = pipe.text_encoder.apply(
+        {"params": pipe.text_encoder_params},
+        jnp.asarray(ids), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
+
+    # encoder + hash tokenizer end-to-end: prompt -> image without embeds
+    from tdm_tpu.data.tokenizer import HashTokenizer
+
+    pipe.tokenizer = HashTokenizer(vocab_size=128)
+    out = pipe(
+        ["a cat on a mat"], num_inference_steps=2, height=128, width=128,
+        seed=5,
+    )
+    assert out.images.shape == (1, 32, 32, 3)
+
+
+def test_from_diffusers_sd3_triple_encoder(tmp_path):
+    """An SD3 checkout's text_encoder/_2/_3 subfolders (CLIP-L, CLIP-G,
+    T5) attach as the triple-encoder stack; encode_prompt produces the
+    (context, pooled) pair with the penultimate-layer + pad-to-4096-analog
+    layout, and the full 4-NFE call runs from raw prompts."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    from tdm_tpu.models import mmdit_sd3
+    from tests.test_convert_models import _build_sd3_dict
+
+    cfg = mmdit_sd3.MMDiTConfig.tiny()  # context_dim 48, pooled_dim 24
+    root = str(tmp_path / "sd3_ckpt")
+    os.makedirs(os.path.join(root, "transformer"))
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "StableDiffusion3Pipeline"}, f)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump({
+            "sample_size": cfg.sample_size, "patch_size": cfg.patch_size,
+            "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+            "num_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "attention_head_dim": cfg.head_dim,
+            "joint_attention_dim": cfg.context_dim,
+            "pooled_projection_dim": cfg.pooled_dim,
+            "pos_embed_max_size": cfg.pos_embed_max_size,
+        }, f)
+    save_file(
+        _build_sd3_dict(cfg),
+        os.path.join(root, "transformer", "diffusion_pytorch_model.safetensors"),
+    )
+
+    torch.manual_seed(1)
+    for i, sub in enumerate(("text_encoder", "text_encoder_2")):
+        ccfg = transformers.CLIPTextConfig(
+            vocab_size=96, hidden_size=16, num_attention_heads=4,
+            num_hidden_layers=2, intermediate_size=32,
+            max_position_embeddings=16, eos_token_id=95, bos_token_id=94,
+            hidden_act="quick_gelu" if i == 0 else "gelu",
+            attention_dropout=0.0, projection_dim=cfg.pooled_dim // 2,
+        )
+        chf = transformers.CLIPTextModelWithProjection(ccfg).eval()
+        d = os.path.join(root, sub)
+        os.makedirs(d)
+        conf = ccfg.to_dict()
+        conf["architectures"] = ["CLIPTextModelWithProjection"]
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(conf, f)
+        save_file(
+            {k: v.detach().numpy().copy() for k, v in chf.state_dict().items()},
+            os.path.join(d, "model.safetensors"),
+        )
+    t5_cfg = transformers.T5Config(
+        vocab_size=128, d_model=cfg.context_dim, d_kv=8, num_heads=4,
+        d_ff=64, num_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, is_encoder_decoder=False, use_cache=False,
+    )
+    t5_hf = transformers.T5EncoderModel(t5_cfg).eval()
+    d = os.path.join(root, "text_encoder_3")
+    os.makedirs(d)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(t5_cfg.to_dict(), f)
+    save_file(
+        {k: v.detach().numpy().copy() for k, v in t5_hf.state_dict().items()},
+        os.path.join(d, "model.safetensors"),
+    )
+
+    pipe = from_pretrained(
+        root, model_config={"dtype": "float32", "attn_impl": "xla"},
+        max_clip_len=16, max_t5_len=8,
+    )
+    assert set(pipe.text_encoders) == {"clip_l", "clip_g", "t5"}
+
+    from tdm_tpu.data.tokenizer import HashTokenizer
+
+    pipe.tokenizers = {
+        "clip_l": HashTokenizer(vocab_size=96, eos_id=95),
+        "clip_g": HashTokenizer(vocab_size=96, eos_id=95),
+        "t5": HashTokenizer(vocab_size=128),
+    }
+    ctx, pooled = pipe.encode_prompt(["a cat on a mat"])
+    assert ctx.shape == (1, 16 + 8, cfg.context_dim)
+    assert pooled.shape == (1, cfg.pooled_dim)
+    assert np.isfinite(np.asarray(ctx)).all()
+
+    out = pipe(
+        ["a cat on a mat"], num_inference_steps=2, height=64, width=64,
+        seed=8888, output_type="latent",
+    )
+    assert np.isfinite(np.asarray(out.latents)).all()

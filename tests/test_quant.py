@@ -1,0 +1,143 @@
+"""ops/quant: dynamic int8 matmul accuracy, the Dense interceptor's gating
+rules, and the pipeline-level `pipe.quant = 'int8'` switch."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.ops import quant
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+
+
+def test_int8_dot_accuracy():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (64, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (256, 128), jnp.float32)
+    ref = x @ w
+    out = quant.int8_dot(x, w)
+    assert out.dtype == x.dtype
+    assert _cos(out, ref) > 0.9995
+    # per-element error bounded by the quantization step sizes
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 0.05 * np.abs(np.asarray(ref)).max() + 0.5
+
+
+def test_int8_dot_outlier_rows_keep_own_scale():
+    """Per-row activation scales: one huge row must not destroy the
+    precision of the others (the failure mode of a single global scale)."""
+    x = jnp.ones((4, 512), jnp.float32) * 0.01
+    x = x.at[0].mul(1e4)
+    w = jax.random.normal(jax.random.PRNGKey(2), (512, 512), jnp.float32)
+    ref = x @ w
+    out = quant.int8_dot(x, w)
+    for i in range(4):
+        assert _cos(out[i], ref[i]) > 0.999, i
+
+
+def test_int8_dot_zero_input_is_zero():
+    x = jnp.zeros((8, 512), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (512, 512), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(quant.int8_dot(x, w)), 0.0)
+
+
+class _Wide(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(512, name="wide")(x)
+
+
+def test_interceptor_reroutes_large_dense(monkeypatch):
+    monkeypatch.setattr(quant, "WIDE_DIM", 512)
+    m = _Wide()
+    x = jax.random.normal(jax.random.PRNGKey(4), (300, 512), jnp.float32)
+    p = m.init(jax.random.PRNGKey(5), x)
+    ref = m.apply(p, x)
+    with quant.quantize_int8():
+        out = m.apply(p, x)
+    assert not np.array_equal(np.asarray(out), np.asarray(ref))  # rerouted
+    assert _cos(out, ref) > 0.999  # ...but numerically faithful
+
+
+def test_interceptor_gates_small_layers(monkeypatch):
+    """Below the token/width thresholds nn.Dense stays bit-exact (the
+    per-sample modulation/timestep MLPs carry ~0 FLOPs but the largest
+    relative quantization error; square hidden×hidden linears measured
+    slower under dynamic quant than bf16)."""
+    monkeypatch.setattr(quant, "WIDE_DIM", 512)
+    m = _Wide()
+    x_few = jax.random.normal(jax.random.PRNGKey(6), (4, 512), jnp.float32)
+    p = m.init(jax.random.PRNGKey(7), x_few)
+    with quant.quantize_int8():
+        out = m.apply(p, x_few)  # 4 tokens < MIN_TOKENS
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m.apply(p, x_few)))
+
+    monkeypatch.setattr(quant, "WIDE_DIM", 4096)
+    x = jax.random.normal(jax.random.PRNGKey(10), (300, 512), jnp.float32)
+    p2 = m.init(jax.random.PRNGKey(11), x)
+    with quant.quantize_int8():
+        out = m.apply(p2, x)  # 512 wide < WIDE_DIM: stays bf16
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m.apply(p2, x)))
+
+    class Narrow(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(16, name="narrow")(x)
+
+    n = Narrow()
+    x = jax.random.normal(jax.random.PRNGKey(8), (300, 16), jnp.float32)
+    pn = n.init(jax.random.PRNGKey(9), x)
+    with quant.quantize_int8():
+        out = n.apply(pn, x)  # 16 < MIN_DIM
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(n.apply(pn, x)))
+
+
+def test_quant_scope_validates_mode():
+    with pytest.raises(ValueError, match="int8"):
+        quant.quant_scope("fp4")
+    with quant.quant_scope(None):
+        pass  # no-op
+
+
+def test_pipeline_quant_switch(monkeypatch, tmp_path):
+    """pipe.quant = 'int8': images stay close to the bf16 path, both
+    variants live in the jit cache side by side, and resetting to None
+    reproduces the exact baseline."""
+    from tdm_tpu.models import pixart
+    from tdm_tpu.pipelines import PixArtPipeline
+
+    monkeypatch.setattr(quant, "MIN_TOKENS", 1)
+    monkeypatch.setattr(quant, "MIN_DIM", 1)
+    monkeypatch.setattr(quant, "WIDE_DIM", 1)
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask
+    )["params"]
+    pipe = PixArtPipeline(model, params)
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.caption_dim)),
+        mask,
+    )
+    kw = dict(
+        prompt_embeds=emb, num_inference_steps=2, height=128, width=128,
+        seed=42, output_type="latent",
+    )
+    base = np.asarray(pipe(**kw).latents)
+    pipe.quant = "int8"
+    q = np.asarray(pipe(**kw).latents)
+    assert not np.array_equal(q, base)
+    assert _cos(q, base) > 0.99
+    pipe.quant = None
+    again = np.asarray(pipe(**kw).latents)
+    np.testing.assert_array_equal(again, base)

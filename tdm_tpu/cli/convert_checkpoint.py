@@ -40,7 +40,35 @@ def main(argv=None) -> None:
     p.add_argument("--no_scan", action="store_true",
                    help="keep per-layer (unrolled) layout instead of the "
                         "scan-stacked default")
+    p.add_argument("--reverse", action="store_true",
+                   help="tdm_tpu param file → diffusers/torch state-dict "
+                        "safetensors (full-weight students back into the "
+                        "torch ecosystem; families: "
+                        f"{sorted(convert.TO_TORCH)})")
     args = p.parse_args(argv)
+    import numpy as np
+
+    dtype = np.dtype(args.dtype) if args.dtype else None
+    if args.reverse:
+        inv = convert.TO_TORCH.get(args.family)
+        if inv is None:
+            p.error(
+                f"--reverse supports {sorted(convert.TO_TORCH)} (LoRA "
+                "artifacts interchange via lora/io.py save_kohya instead)"
+            )
+        from safetensors.numpy import save_file
+
+        sd = inv(params_io.load_params(args.src, to_jnp=False))
+        if dtype is not None:
+            sd = {
+                k: v.astype(dtype) if np.issubdtype(v.dtype, np.floating) else v
+                for k, v in sd.items()
+            }
+        save_file(sd, args.dst)
+        n = sum(v.size for v in sd.values())
+        print(f"wrote {args.dst}: {n/1e6:.1f}M params "
+              f"({args.family}, torch layout)")
+        return
 
     sd = convert.load_torch_state_dict(args.src)
     fn = getattr(convert, FAMILIES[args.family])
@@ -50,9 +78,6 @@ def main(argv=None) -> None:
     if "scan_layers" in inspect.signature(fn).parameters:
         kwargs["scan_layers"] = not args.no_scan
     tree = fn(sd, **kwargs)
-    import numpy as np
-
-    dtype = np.dtype(args.dtype) if args.dtype else None
     params_io.save_params(tree, args.dst, dtype=dtype)
     n = sum(np.asarray(x).size for x in _leaves(tree))
     print(f"wrote {args.dst}: {n/1e6:.1f}M params ({args.family})")

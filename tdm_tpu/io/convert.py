@@ -700,3 +700,95 @@ def to_jax(tree: Any, dtype=None) -> Any:
     import jax
 
     return jax.tree.map(conv, tree)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: tdm_tpu param tree → diffusers/torch state dict.
+# Lets a distilled student load straight back into the torch ecosystem
+# (diffusers Transformer2DModel.load_state_dict) — the return leg of the
+# reference's from_pretrained interchange (/root/reference/src/main.py:160-176).
+# LoRA artifacts are already bidirectional via the kohya layout (lora/io.py);
+# this covers FULL-weight exports for the training family.
+# ---------------------------------------------------------------------------
+
+
+def unstack_layers(tree: dict, prefix: str = "blocks") -> dict:
+    """Inverse of `stack_layers`: split a stacked `{prefix}` subtree (leading
+    layer axis L) back into `{prefix}_0 … {prefix}_{L-1}` siblings. Trees
+    without a stacked subtree pass through unchanged."""
+    if prefix not in tree or not isinstance(tree[prefix], dict):
+        return tree
+    import jax
+
+    tree = dict(tree)
+    stacked = tree.pop(prefix)
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        tree[f"{prefix}_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x[i]), stacked
+        )
+    return tree
+
+
+def _get(tree: dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        node = node[p]
+    return node
+
+
+def _inv_linear(tree: dict, sd: dict, src: str, dst: str) -> None:
+    """dst.{weight,bias} ← src/{kernel,bias} (kernel transposed back)."""
+    node = _get(tree, src)
+    sd[f"{dst}.weight"] = np.ascontiguousarray(np.asarray(node["kernel"]).T)
+    if "bias" in node:
+        sd[f"{dst}.bias"] = np.asarray(node["bias"])
+
+
+def _inv_conv(tree: dict, sd: dict, src: str, dst: str) -> None:
+    """Flax [kh,kw,in,out] → torch Conv2d [out,in,kh,kw]."""
+    node = _get(tree, src)
+    sd[f"{dst}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(node["kernel"]), (3, 2, 0, 1))
+    )
+    if "bias" in node:
+        sd[f"{dst}.bias"] = np.asarray(node["bias"])
+
+
+def pixart_to_torch(tree: dict) -> dict[str, np.ndarray]:
+    """PixArtTransformer2D param tree (stacked or unrolled) → the diffusers
+    PixArt transformer state-dict layout — the exact inverse of
+    `pixart_params`, byte-for-byte round-trip tested."""
+    import jax
+
+    tree = unstack_layers(jax.tree.map(np.asarray, tree))
+    sd: dict[str, np.ndarray] = {}
+    _inv_conv(tree, sd, "pos_embed/proj", "pos_embed.proj")
+    for j in (1, 2):
+        _inv_linear(tree, sd, f"t_embedder/linear_{j}",
+                    f"adaln_single.emb.timestep_embedder.linear_{j}")
+    _inv_linear(tree, sd, "t_block", "adaln_single.linear")
+    _inv_linear(tree, sd, "caption_linear_1", "caption_projection.linear_1")
+    _inv_linear(tree, sd, "caption_linear_2", "caption_projection.linear_2")
+    n_layers = 1 + max(
+        (int(m.group(1)) for k in tree if (m := re.match(r"blocks_(\d+)$", k))),
+        default=-1,
+    )
+    for i in range(n_layers):
+        src = f"blocks_{i}"
+        dst = f"transformer_blocks.{i}"
+        sd[f"{dst}.scale_shift_table"] = np.asarray(
+            _get(tree, f"{src}/scale_shift_table")
+        )
+        for attn in ("attn1", "attn2"):
+            for p in ("to_q", "to_k", "to_v"):
+                _inv_linear(tree, sd, f"{src}/{attn}/{p}", f"{dst}.{attn}.{p}")
+            _inv_linear(tree, sd, f"{src}/{attn}/to_out", f"{dst}.{attn}.to_out.0")
+        _inv_linear(tree, sd, f"{src}/ff/proj_in", f"{dst}.ff.net.0.proj")
+        _inv_linear(tree, sd, f"{src}/ff/proj_out", f"{dst}.ff.net.2")
+    sd["scale_shift_table"] = np.asarray(tree["final_scale_shift_table"])
+    _inv_linear(tree, sd, "proj_out", "proj_out")
+    return sd
+
+
+TO_TORCH = {"pixart": pixart_to_torch}

@@ -41,6 +41,8 @@ class DiffusionPipelineBase:
     """Shared LoRA management + jit caching. Subclasses set `base_params`
     (the denoiser's pristine param tree) and implement `_build_sampler`."""
 
+    family: str = ""  # loading.FAMILIES key, set per subclass
+
     def __init__(self):
         self._loras: dict[str, lora_lib.LoRA] = {}
         self._active: tuple = ()  # ((name, scale), ...)
@@ -99,6 +101,34 @@ class DiffusionPipelineBase:
                 return fn(*args, **kwargs)
 
         return wrapped
+
+    # ---- persistence (the diffusers pipe.save_pretrained verb) ----
+
+    def save_pretrained(self, path: str) -> None:
+        """Write this pipeline as a loading.py layout-1 directory, loadable
+        with `from_pretrained(path)`. Bundles the PRISTINE base params
+        (adapter merges are runtime state — re-load LoRA files after) and
+        the VAE decoder when attached; text encoders are not bundled here
+        (pass text_encoder_* to the functional `loading.save_pretrained`,
+        or use cached embeddings)."""
+        from tdm_tpu.pipelines import loading
+
+        denoiser = getattr(self, "transformer", None) or self.unet
+        vae_cfg = None
+        if getattr(self, "vae_decoder", None) is not None:
+            vae_cfg = self.vae_decoder.cfg
+        elif getattr(self, "vae_cfg", None) is not None:
+            vae_cfg = self.vae_cfg
+        loading.save_pretrained(
+            path,
+            family=self.family,
+            transformer_params=self.base_params,
+            model_config=loading.config_dict(denoiser.cfg),
+            vae_params=getattr(self, "vae_params", None),
+            vae_config=(
+                loading.config_dict(vae_cfg) if vae_cfg is not None else None
+            ),
+        )
 
     # ---- misc ----
 

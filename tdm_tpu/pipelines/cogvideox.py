@@ -24,6 +24,8 @@ TDM_TRAINED_GRID = (999, 856, 665, 399)  # README.md:129
 
 
 class CogVideoXPipeline(DiffusionPipelineBase):
+    family = "cogvideox"
+
     def __init__(
         self,
         transformer: cog.CogVideoXTransformer3D,

@@ -82,14 +82,31 @@ def save_pretrained(
 
 
 def _fix(conf: dict) -> dict:
-    """JSON config → dataclass kwargs (dtype strings → jnp dtypes)."""
+    """JSON config → dataclass kwargs (dtype strings → jnp dtypes, lists →
+    tuples: JSON has no tuples and no config field is a genuine list)."""
     import jax.numpy as jnp
 
-    out = dict(conf)
+    out = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in conf.items()
+    }
     if isinstance(out.get("dtype"), str):
         out["dtype"] = jnp.dtype(out["dtype"]).type
-    if isinstance(out.get("block_widths"), list):
-        out["block_widths"] = tuple(out["block_widths"])
+    return out
+
+
+def config_dict(cfg) -> dict:
+    """Model/VAE config dataclass → the JSON-safe dict `_fix` re-reads
+    (dtype → name string, tuples → lists)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name == "dtype":
+            v = jnp.dtype(v).name
+        elif isinstance(v, tuple):
+            v = list(v)
+        out[f.name] = v
     return out
 
 

@@ -24,6 +24,8 @@ from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_ima
 
 
 class PixArtPipeline(DiffusionPipelineBase):
+    family = "pixart"
+
     def __init__(
         self,
         transformer: pixart.PixArtTransformer2D,

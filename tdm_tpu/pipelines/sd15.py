@@ -19,6 +19,8 @@ from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_ima
 
 
 class SD15Pipeline(DiffusionPipelineBase):
+    family = "sd15"
+
     def __init__(
         self,
         unet: unet_sd15.UNet2DCondition,

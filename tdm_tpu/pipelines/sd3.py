@@ -27,6 +27,8 @@ from tdm_tpu.pipelines.base import DiffusionPipelineBase, PipelineOutput, to_ima
 
 
 class SD3Pipeline(DiffusionPipelineBase):
+    family = "sd3"
+
     def __init__(
         self,
         transformer: mmdit_sd3.SD3Transformer2D,

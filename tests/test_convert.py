@@ -140,3 +140,46 @@ def test_taesd_convert_structure_and_apply():
     _assert_same_structure(tree["encoder"], init_enc)
     lat = enc.apply({"params": tree["encoder"]}, img)
     assert lat.shape == (1, cfg.latent_channels, 8, 8)
+
+
+def test_pixart_reverse_roundtrip():
+    """pixart_to_torch is the exact inverse of pixart_params: HF state dict
+    → tree (stacked AND unrolled) → HF state dict is byte-identical — a
+    distilled student loads back into diffusers unmodified."""
+    cfg = pixart.PixArtConfig.tiny()
+    sd = synthetic_pixart_sd(cfg)
+    for scan in (True, False):
+        tree = convert.pixart_params(sd, scan_layers=scan)
+        back = convert.pixart_to_torch(tree)
+        assert sorted(back) == sorted(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_reverse_cli(tmp_path):
+    """--reverse: tdm param file → torch-layout safetensors, loadable by
+    pixart_params again; unsupported families error with guidance."""
+    import pytest
+
+    from tdm_tpu.cli import convert_checkpoint
+    from tdm_tpu.io import params as params_io
+
+    cfg = pixart.PixArtConfig.tiny()
+    sd = synthetic_pixart_sd(cfg)
+    tree = convert.pixart_params(sd)
+    src = str(tmp_path / "student.tdm.safetensors")
+    dst = str(tmp_path / "student.torch.safetensors")
+    params_io.save_params(tree, src)
+    convert_checkpoint.main(
+        ["--family", "pixart", "--src", src, "--dst", dst, "--reverse"]
+    )
+    from safetensors.numpy import load_file
+
+    back = load_file(dst)
+    assert sorted(back) == sorted(sd)
+    np.testing.assert_array_equal(back["proj_out.weight"], sd["proj_out.weight"])
+
+    with pytest.raises(SystemExit):
+        convert_checkpoint.main(
+            ["--family", "sd3", "--src", src, "--dst", dst, "--reverse"]
+        )

@@ -431,3 +431,41 @@ def test_from_diffusers_sd3_triple_encoder(tmp_path):
         seed=8888, output_type="latent",
     )
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_pipe_save_pretrained_method_roundtrip(tmp_path):
+    """pipe.save_pretrained(dir) (the diffusers instance verb) →
+    from_pretrained(dir) reproduces the pipeline: same config, identical
+    images for the same inputs."""
+    from tdm_tpu.pipelines import PixArtPipeline
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask
+    )["params"]
+    vcfg = vae_lib.TAESDConfig(width=8, num_stages=1, blocks_per_stage=1)
+    dec = vae_lib.TAESDDecoder(cfg=vcfg)
+    vparams = dec.init(jax.random.PRNGKey(1), lat)["params"]
+    pipe = PixArtPipeline(
+        model, params, vae_decoder=dec, vae_params=vparams,
+    )
+    d = str(tmp_path / "saved")
+    pipe.save_pretrained(d)
+    re = from_pretrained(d)
+    assert re.transformer.cfg == cfg
+    assert re.vae_decoder.cfg == vcfg
+    emb = (
+        jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.caption_dim)),
+        mask,
+    )
+    kw = dict(
+        prompt_embeds=emb, num_inference_steps=2, height=128, width=128,
+        seed=7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pipe(**kw).images), np.asarray(re(**kw).images)
+    )

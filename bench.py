@@ -29,7 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 
-def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
+def bench_pixart_4nfe(batch: int = 8, iters: int = 10, quant: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -67,15 +67,25 @@ def bench_pixart_4nfe(batch: int = 8, iters: int = 10) -> dict:
     noise = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 4, 64, 64), jnp.bfloat16
     )
-    sample(params, noise, text, mask).block_until_ready()  # compile + warmup
+    if quant:
+        # +17.6% measured (20.4 → 24.0): PixArt is linear-dominated (short
+        # S=1144 attention dispatches to XLA), so int8 MXU bites harder
+        # than on SD3
+        from tdm_tpu.ops import quant as quant_lib
+
+        with quant_lib.quantize_int8():
+            sample(params, noise, text, mask).block_until_ready()
+    else:
+        sample(params, noise, text, mask).block_until_ready()  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = sample(params, noise, text, mask)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
+    name = "pixart512_4nfe_int8" if quant else "pixart512_4nfe"
     return {
-        "metric": "pixart512_4nfe_images_per_sec_per_chip",
+        "metric": f"{name}_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/s/chip",
         "vs_baseline": round(ips / 2.0, 3),
@@ -258,6 +268,7 @@ if __name__ == "__main__":
         "sd3": bench_sd3_4nfe,
         "sd3_int8": lambda: bench_sd3_4nfe(quant=True),
         "pixart": bench_pixart_4nfe,
+        "pixart_int8": lambda: bench_pixart_4nfe(quant=True),
         "train": bench_tdm_train_step,
         "video": bench_cogvideox_4nfe,
     }[which]

@@ -141,7 +141,9 @@ def bench_sd3_4nfe(batch: int = 4, iters: int = 5, quant: bool = False) -> dict:
     }
 
 
-def bench_tdm_train_step(batch: int = 4, iters: int = 5) -> dict:
+def bench_tdm_train_step(
+    batch: int = 4, iters: int = 5, quant_forwards: bool = False
+) -> dict:
     """Full-size PixArt TDM train step (9-11 denoiser forwards + student
     backward + two optimizer updates, §3.2) on one chip — the 'PixArt
     distill iters/hour' tracked metric. Teacher/student/critic all live in
@@ -172,7 +174,8 @@ def bench_tdm_train_step(batch: int = 4, iters: int = 5) -> dict:
         return pixart.epsilon(model.apply({"params": params}, x, t, te, m))
 
     config = tdm.TDMConfig(total_steps=900, num_steps=4, cfg=4.5,
-                           use_huber=True, use_separate=True)
+                           use_huber=True, use_separate=True,
+                           quant_forwards=quant_forwards)
     tx = topt.make_optimizer(
         topt.make_lr_schedule("cosine_with_restarts", 2e-5, warmup_steps=50),
         low_precision_moments=True,
@@ -199,8 +202,12 @@ def bench_tdm_train_step(batch: int = 4, iters: int = 5) -> dict:
     iters_per_hour = 3600.0 / dt
     # baseline: reference trains 500 iters in ~2 A800-GPU-hours on 2 GPUs
     # (~1h wall) → 500 iters/hour (README.md:19)
+    name = (
+        "pixart512_tdm_train_int8fwd" if quant_forwards
+        else "pixart512_tdm_train"
+    )
     return {
-        "metric": "pixart512_tdm_train_iters_per_hour_per_chip",
+        "metric": f"{name}_iters_per_hour_per_chip",
         "value": round(iters_per_hour, 1),
         "unit": f"iters/hour (batch {batch})",
         "vs_baseline": round(iters_per_hour / 500.0, 3),
@@ -270,6 +277,7 @@ if __name__ == "__main__":
         "pixart": bench_pixart_4nfe,
         "pixart_int8": lambda: bench_pixart_4nfe(quant=True),
         "train": bench_tdm_train_step,
+        "train_int8": lambda: bench_tdm_train_step(quant_forwards=True),
         "video": bench_cogvideox_4nfe,
     }[which]
     print(json.dumps(fn()))

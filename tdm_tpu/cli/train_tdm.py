@@ -195,6 +195,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         cfg=cfg.cfg, total_steps=cfg.total_steps, num_steps=cfg.num_steps,
         use_huber=cfg.use_huber, use_separate=cfg.use_separate,
         loss_mode=cfg.loss_mode, critic_updates=cfg.critic_updates,
+        quant_forwards=cfg.quant_forwards,
         # EMA runs every micro-step but params are bit-constant within an
         # accumulation window, so d^accum reproduces exactly one 0.9999
         # decay per OPTIMIZER step (diffusers EMAModel steps once per

@@ -85,6 +85,15 @@ class TDMConfig:
     # distillation (DMD2 runs 5:1); each extra update draws a fresh (t, ε)
     # within the SAME per-sample segment interval ('dmd' mode only)
     critic_updates: int = 1
+    # run the NO-GRAD forwards (the K-step rollout, the teacher CFG probe,
+    # the frozen-critic score probe — 7 of the step's 9-11 denoiser passes)
+    # through dynamic int8 MXU matmuls (ops/quant.py). Grad-carrying
+    # forwards/backwards (critic DSM update, student loss) stay bf16, so
+    # optimizer math is untouched; the int8 targets act as bounded noise on
+    # stop-grad quantities. TPU-native extension (the reference's 8-bit is
+    # optimizer-state only, src/main.py:206-216); efficacy proven on the
+    # ring task in test_tdm_synthetic_e2e.
+    quant_forwards: bool = False
 
     # pytree_node=False so the dataclass stays hashable/static under jit
     def __post_init__(self):
@@ -176,6 +185,21 @@ def build_train_step(
     grid = sched.fewstep_grid(config.total_steps, config.num_steps)
     levels = segment_levels(config)
 
+    def q(fn):
+        """No-grad-forward variant: with config.quant_forwards the wrapped
+        call TRACES under the int8 interceptor (ops/quant.py), so its big
+        Dense matmuls compile to int8 MXU ops. Apply ONLY to stop-grad
+        forwards — never inside value_and_grad."""
+        if not config.quant_forwards:
+            return fn
+        from tdm_tpu.ops import quant as quant_lib
+
+        def wrapped(*args, **kwargs):
+            with quant_lib.quantize_int8():
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     def train_step(
         state: TrainState, rng: jax.Array, cond: Any, uncond: Any,
         teacher: Any = None,
@@ -197,6 +221,7 @@ def build_train_step(
         )
         student_frozen = jax.lax.stop_gradient(state.student)
 
+        @q
         def rollout_fn(x, t, c):
             return student_fn(student_frozen, x, t, c)
 
@@ -267,7 +292,7 @@ def build_train_step(
 
             # noise the (stop-grad view of the) sample to t_fake once; the
             # same x_t value anchors critic training and both score probes
-            x0_gen_sg = jax.lax.stop_gradient(gen_x0(state.student))
+            x0_gen_sg = jax.lax.stop_gradient(q(gen_x0)(state.student))
             a_f, s_f = sched.alpha_sigma(schedule, t_fake, z.ndim)
             x_t_sg = (a_f * x0_gen_sg + s_f * fresh).astype(x0_gen_sg.dtype)
 
@@ -312,8 +337,8 @@ def build_train_step(
 
             # ---- score probes at (x_t, t_fake): teacher (real, CFG) and
             # updated critic (fake), both stop-grad ----
-            x0_real = teacher_cfg_x0(x_t_sg, t_fake)
-            eps_fake = denoise_fn(
+            x0_real = q(teacher_cfg_x0)(x_t_sg, t_fake)
+            eps_fake = q(denoise_fn)(
                 jax.lax.stop_gradient(new_critic), x_t_sg, t_fake, cond
             )
             x0_fake = jax.lax.stop_gradient(
@@ -353,13 +378,13 @@ def build_train_step(
             new_critic = optax.apply_updates(state.critic, critic_updates)
 
             # critic x0 anchor (the demo's fake_latents, main.py:481-490)
-            eps_fake = denoise_fn(
+            eps_fake = q(denoise_fn)(
                 jax.lax.stop_gradient(new_critic), x_f, t_fake, cond
             )
             x_in = jax.lax.stop_gradient(
                 sched.predicted_origin(schedule, eps_fake, t_fake, x_f)
             )
-            target = teacher_cfg_x0(x_in, t_fake)
+            target = q(teacher_cfg_x0)(x_in, t_fake)
 
             def student_loss_fn(student_params):
                 if config.student_cfg_in_loss and config.cfg != 1.0:

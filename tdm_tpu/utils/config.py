@@ -111,6 +111,10 @@ class TrainConfig:
     loss_mode: str = "dmd"
     # extra fake-score updates per student update (DMD2-style ratio)
     critic_updates: int = 1
+    # TPU extension: run the step's NO-GRAD denoiser forwards (rollout,
+    # teacher probe, frozen-critic probe) through dynamic int8 MXU matmuls
+    # (ops/quant.py); gradient paths stay bf16
+    quant_forwards: bool = False
     # rank for the final kohya-LoRA artifact extracted from the trained
     # delta (0 = skip; released TDM artifacts are LoRA, README.md:140-144)
     export_lora_rank: int = 32

@@ -206,3 +206,61 @@ def test_lora_mode_distillation_also_improves(trained_teacher):
     assert err_after < err_before - 0.02, (
         f"LoRA-mode no improvement: {err_before:.3f} -> {err_after:.3f}"
     )
+
+
+def test_quant_forwards_distillation_also_improves(trained_teacher, monkeypatch):
+    """TDMConfig(quant_forwards=True): the no-grad forwards (rollout,
+    teacher probe, frozen-critic probe) run int8-quantized (ops/quant.py),
+    and the distillation STILL closes the few-step gap — validating the
+    quantized-training-forwards pathway end-to-end. Gates are lowered so
+    the toy denoiser's width-128 Dense layers actually quantize."""
+    from tdm_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "MIN_TOKENS", 1)
+    monkeypatch.setattr(quant, "MIN_DIM", 1)
+    monkeypatch.setattr(quant, "WIDE_DIM", 1)
+
+    model, teacher, schedule, denoise_fn = trained_teacher
+    n = 512
+    key = jax.random.PRNGKey(42)
+    err_teacher_50 = _radius_error(
+        _sample(denoise_fn, teacher, schedule, key, n, 50)
+    )
+    err_before_4 = _radius_error(
+        _sample(denoise_fn, teacher, schedule, key, n, 4)
+    )
+
+    config = tdm.TDMConfig(
+        total_steps=900, num_steps=4, cfg=1.0, use_huber=True,
+        use_separate=True, student_cfg_in_loss=False, quant_forwards=True,
+    )
+    tx_s = topt.make_optimizer(3e-4, weight_decay=0.0)
+    tx_c = topt.make_optimizer(3e-4, weight_decay=0.0)
+    step = tdm.build_train_step(
+        denoise_fn, teacher, schedule, config, tx_s, tx_c,
+        sample_shape=SHAPE,
+    )
+    state = tdm.init_state(teacher, teacher, tx_s, tx_c)
+    jit_step = jax.jit(step)
+
+    key_t = jax.random.PRNGKey(7)
+    cond = jnp.ones((128, 1))
+    uncond = jnp.zeros((128, 1))
+    for i in range(500):
+        key_t, ks = jax.random.split(key_t)
+        state, metrics = jit_step(state, ks, cond, uncond, teacher)
+    assert np.isfinite(float(metrics.loss_student))
+
+    err_after_4 = _radius_error(
+        _sample(denoise_fn, state.student, schedule, key, n, 4)
+    )
+    gap_before = err_before_4 - err_teacher_50
+    gap_after = err_after_4 - err_teacher_50
+    assert err_after_4 < err_before_4 - 0.02, (
+        f"quant_forwards broke distillation: {err_before_4:.3f} → "
+        f"{err_after_4:.3f}"
+    )
+    assert gap_after < 0.6 * gap_before, (
+        f"gap closed too little under quant_forwards: "
+        f"{gap_before:.3f} → {gap_after:.3f}"
+    )

@@ -214,7 +214,8 @@ def bench_tdm_train_step(
     }
 
 
-def bench_cogvideox_4nfe(batch: int = 1, iters: int = 3) -> dict:
+def bench_cogvideox_4nfe(batch: int = 1, iters: int = 3,
+                         quant: bool = False) -> dict:
     """CogVideoX-2B 49-frame 480×720 text-to-video at 4 NFE — the
     reference's 25× headline workload ('25 videos in 1 teacher-video
     wall-clock', README.md:38, 4 vs 100 NFE). Sampler-only (tiled 3D-VAE
@@ -249,15 +250,22 @@ def bench_cogvideox_4nfe(batch: int = 1, iters: int = 3) -> dict:
         )
 
     noise = jax.random.normal(jax.random.PRNGKey(1), lat.shape, jnp.bfloat16)
-    out = sample(params, noise, text)
+    if quant:
+        from tdm_tpu.ops import quant as quant_lib
+
+        with quant_lib.quantize_int8():
+            out = sample(params, noise, text)
+    else:
+        out = sample(params, noise, text)
     float(jnp.sum(out[..., :1, :1]))  # forced readback sync (see docs)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = sample(params, noise, text)
     float(jnp.sum(out[..., :1, :1]))
     vpm = batch * iters / (time.perf_counter() - t0) * 60.0
+    name = "cogvideox2b_49f_4nfe_int8" if quant else "cogvideox2b_49f_4nfe"
     return {
-        "metric": "cogvideox2b_49f_4nfe_videos_per_min_per_chip",
+        "metric": f"{name}_videos_per_min_per_chip",
         "value": round(vpm, 2),
         "unit": "videos/min/chip (49 frames, 480x720)",
         # the reference's claim is 25 student videos per teacher video;
@@ -279,5 +287,6 @@ if __name__ == "__main__":
         "train": bench_tdm_train_step,
         "train_int8": lambda: bench_tdm_train_step(quant_forwards=True),
         "video": bench_cogvideox_4nfe,
+        "video_int8": lambda: bench_cogvideox_4nfe(quant=True),
     }[which]
     print(json.dumps(fn()))

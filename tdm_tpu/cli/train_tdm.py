@@ -29,11 +29,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
 
-    from tdm_tpu.core import schedules as sched
     from tdm_tpu.data import prompts as data_prompts, tokenizer as tok_lib
-    from tdm_tpu.models import pixart, vae as vae_lib
+    from tdm_tpu.models import vae as vae_lib
     from tdm_tpu.parallel import mesh as pmesh
-    from tdm_tpu.train import optim as topt, tdm, validation
+    from tdm_tpu.train import families, optim as topt, tdm, validation
     from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
 
     cfg = cfg_lib.parse_args(argv)
@@ -63,42 +62,38 @@ def main(argv: Optional[list[str]] = None) -> None:
     global_batch = cfg.train_batch_size * n_dev
     local_batch = global_batch // jax.process_count()
 
-    # ---- model (PixArt-α, the demo's training model) ----
+    # ---- model: --model_family (reference demo = pixart only,
+    # src/main.py:168-176; the other families train through the same
+    # jitted step via train/families.py) ----
     tiny = os.environ.get("TDM_TINY_MODEL", "") == "1"  # smoke-test escape
-    mcfg = pixart.PixArtConfig.tiny() if tiny else pixart.PixArtConfig()
-    if cfg.gradient_checkpointing:
+    bundle = families.build(
+        cfg.model_family,
+        tiny=tiny,
+        resolution=cfg.resolution,
         # --gradient_checkpointing → per-block remat, the torch
         # unet.enable_gradient_checkpointing() (reference src/main.py:191-193)
-        mcfg = dataclasses.replace(mcfg, remat=True)
-    model = pixart.PixArtTransformer2D(cfg=mcfg)
-    lat = mcfg.sample_size
-    sample_shape = (mcfg.in_channels, lat, lat)
-    seq_len = 8 if tiny else 120
+        gradient_checkpointing=cfg.gradient_checkpointing,
+    )
+    sample_shape = bundle.sample_shape
+    seq_len = bundle.seq_len
 
     rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
-    init_latent = jnp.zeros((1, *sample_shape))
-    init_text = jnp.zeros((1, seq_len, mcfg.caption_dim))
-    init_mask = jnp.ones((1, seq_len), jnp.int32)
     path = cfg.pretrained_model_name_or_path
     if os.path.isdir(path):
         from tdm_tpu.io import convert
 
         sd = convert.load_torch_state_dict(path)
-        teacher = convert.to_jax(convert.pixart_params(sd))
+        teacher = convert.to_jax(bundle.convert(sd))
         logger.info("loaded teacher weights from %s", path)
     else:
-        teacher = jax.jit(model.init)(
-            rng, init_latent, jnp.zeros((1,)), init_text, init_mask
-        )["params"]
+        teacher = bundle.init_params(rng)
         logger.warning(
             "no local checkpoint at %r — training from RANDOM teacher "
             "weights (smoke mode; real distillation needs ported weights)",
             path,
         )
 
-    def denoise_fn(params, x, t, cond):
-        text, mask = cond
-        return pixart.epsilon(model.apply({"params": params}, x, t, text, mask))
+    denoise_fn = bundle.denoise_fn
 
     # ---- optimizers (recipe: README.md:157-178) ----
     n_total_steps = cfg.max_train_steps or 10001
@@ -178,7 +173,7 @@ def main(argv: Optional[list[str]] = None) -> None:
                 )
             )
         proj = np.random.default_rng(0).normal(
-            size=(tok.vocab_size, mcfg.caption_dim)
+            size=(tok.vocab_size, bundle.embed_dim)
         ).astype(np.float32) * 0.02
 
         def get_batch():
@@ -202,7 +197,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         # optimizer step, src/main.py:553-554)
         ema_decay=0.9999 ** (1.0 / accum),
     )
-    schedule = sched.ddpm_linear()
+    schedule = bundle.schedule
     student_fn = None
     student_init = teacher
     lora_template = None
@@ -272,18 +267,24 @@ def main(argv: Optional[list[str]] = None) -> None:
         jax.random.PRNGKey(42), (n_val, *sample_shape), jnp.float32
     )
     val_text, val_mask = get_batch()
-    val_cond = (
+    val_cond = bundle.cond_of(
         jnp.asarray(val_text[:n_val]),
         jnp.asarray(val_mask[:n_val], jnp.int32),
     )
 
     decode_fn = None
     vae_dir = os.environ.get("TDM_TAESD_DIR", "")
-    if vae_dir:
-        # TAESD decode for validation grids (src/main.py:166)
+    if vae_dir and len(sample_shape) == 3:
+        # TAESD decode for validation grids (src/main.py:166) — image
+        # families only (TAESD3 for 16-ch SD3 latents); video validation
+        # exports GIFs via the 3D-VAE pipeline path instead
         from tdm_tpu.io import convert
 
-        vcfg = vae_lib.TAESDConfig()
+        vcfg = (
+            vae_lib.TAESDConfig.taesd3()
+            if bundle.latent_channels == 16
+            else vae_lib.TAESDConfig()
+        )
         dec = vae_lib.TAESDDecoder(cfg=vcfg)
         vparams = convert.to_jax(
             convert.taesd_params(convert.load_torch_state_dict(vae_dir))
@@ -304,7 +305,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         text_np, mask_np = get_batch()  # [local_batch, ...] host rows
         text_np = np.asarray(text_np, np.float32)
         mask_np = np.asarray(mask_np, np.int32)
-        cond = (
+        cond = bundle.cond_of(
             pmesh.put_batch(text_np, mesh),
             pmesh.put_batch(mask_np, mesh),
         )
@@ -319,9 +320,9 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
         else:
             u_text, u_mask = np.zeros_like(text_np), mask_np
-        uncond = (
-            pmesh.put_batch(u_text, mesh),
-            pmesh.put_batch(u_mask, mesh),
+        uncond = bundle.cond_of(
+            pmesh.put_batch(np.ascontiguousarray(u_text), mesh),
+            pmesh.put_batch(np.ascontiguousarray(u_mask), mesh),
         )
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen

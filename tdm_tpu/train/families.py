@@ -1,0 +1,244 @@
+"""Model-family registry for the training CLI.
+
+The reference demo trains ONE family (PixArt-α, `src/main.py:168-176`) and
+ships inference-only recipes for the rest (`README.md:44-138`). The TDM step
+itself is model-agnostic — it consumes an ε-space `denoise_fn(params, x, t,
+cond)` with an opaque cond pytree (train/tdm.py) — so this registry extends
+training to every family in the zoo: `--model_family pixart|sd15|sd3|
+cogvideox`. v-prediction (CogVideoX) and flow-matching (SD3) models wrap
+their native output with `schedules.predicted_noise` so the step's critic /
+transport math stays in ε space.
+
+Each bundle carries everything the CLI needs that differs per family:
+the Flax model, the ε-space training schedule, the latent sample shape,
+text-conditioning plumbing (embedding dim, token length, cond pytree
+construction), the checkpoint converter, and parameter init.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+
+@dataclass
+class FamilyBundle:
+    name: str
+    model: Any  # Flax module
+    schedule: Any  # NoiseSchedule (ε-space view for the TDM step)
+    sample_shape: tuple  # per-sample latent shape, no batch axis
+    seq_len: int  # text token length the data pipeline should produce
+    embed_dim: int  # text embedding dim the data pipeline should produce
+    denoise_fn: Callable  # (params, x, t, cond) -> ε̂
+    init_params: Callable  # (rng) -> params
+    cond_of: Callable  # (text [B,L,D], mask [B,L]) -> family cond pytree
+    convert: Optional[Callable]  # torch state dict -> param tree
+    latent_channels: int  # for the validation-decode gate (TAESD is 4-ch)
+
+
+FAMILIES = ("pixart", "sd15", "sd3", "cogvideox")
+
+
+def build(
+    family: str,
+    *,
+    tiny: bool = False,
+    resolution: int = 512,
+    gradient_checkpointing: bool = False,
+) -> FamilyBundle:
+    """Construct the training bundle for `--model_family`.
+
+    `resolution` is the pixel resolution (latent = resolution // 8) for the
+    image families; CogVideoX uses its fixed 49-frame 480×720 geometry
+    (`README.md:116-138`). `tiny` swaps in the smoke-test configs
+    (TDM_TINY_MODEL=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.core import schedules as sched
+
+    if family not in FAMILIES:
+        raise ValueError(
+            f"unknown --model_family {family!r}; choose from {FAMILIES}"
+        )
+    lat = 8 if tiny else max(resolution // 8, 8)
+
+    if family == "pixart":
+        from tdm_tpu.io import convert
+        from tdm_tpu.models import pixart
+
+        mcfg = pixart.PixArtConfig.tiny() if tiny else pixart.PixArtConfig()
+        if not tiny and lat != mcfg.sample_size:
+            mcfg = dataclasses.replace(mcfg, sample_size=lat)
+        if gradient_checkpointing:
+            mcfg = dataclasses.replace(mcfg, remat=True)
+        model = pixart.PixArtTransformer2D(cfg=mcfg)
+        shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
+
+        def denoise_fn(params, x, t, cond):
+            text, mask = cond
+            return pixart.epsilon(
+                model.apply({"params": params}, x, t, text, mask)
+            )
+
+        def init_params(rng):
+            return jax.jit(model.init)(
+                rng,
+                jnp.zeros((1, *shape)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 8, mcfg.caption_dim)),
+                jnp.ones((1, 8), jnp.int32),
+            )["params"]
+
+        return FamilyBundle(
+            name=family,
+            model=model,
+            schedule=sched.ddpm_linear(),
+            sample_shape=shape,
+            seq_len=8 if tiny else 120,
+            embed_dim=mcfg.caption_dim,
+            denoise_fn=denoise_fn,
+            init_params=init_params,
+            cond_of=lambda text, mask: (text, mask),
+            convert=lambda sd: convert.pixart_params(sd),
+            latent_channels=mcfg.in_channels,
+        )
+
+    if family == "sd15":
+        from tdm_tpu.io import convert
+        from tdm_tpu.models import unet_sd15
+
+        mcfg = unet_sd15.UNetConfig.tiny() if tiny else unet_sd15.UNetConfig()
+        model = unet_sd15.UNet2DCondition(cfg=mcfg)
+        shape = (mcfg.in_channels, lat, lat)
+
+        def denoise_fn(params, x, t, cond):
+            text, mask = cond
+            return model.apply({"params": params}, x, t, text, mask)
+
+        def init_params(rng):
+            return jax.jit(model.init)(
+                rng,
+                jnp.zeros((1, *shape)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 8, mcfg.context_dim)),
+                jnp.ones((1, 8), jnp.int32),
+            )["params"]
+
+        return FamilyBundle(
+            name=family,
+            model=model,
+            # SD1.5 scheduler config: scaled_linear β (README.md:97)
+            schedule=sched.ddpm_scaled_linear(),
+            sample_shape=shape,
+            seq_len=8 if tiny else 77,
+            embed_dim=mcfg.context_dim,
+            denoise_fn=denoise_fn,
+            init_params=init_params,
+            cond_of=lambda text, mask: (text, mask),
+            convert=lambda sd: convert.unet_sd15_params(sd),
+            latent_channels=mcfg.in_channels,
+        )
+
+    if family == "sd3":
+        from tdm_tpu.io import convert
+        from tdm_tpu.models import mmdit_sd3
+
+        mcfg = mmdit_sd3.MMDiTConfig.tiny() if tiny else mmdit_sd3.MMDiTConfig()
+        if not tiny and lat != mcfg.sample_size:
+            mcfg = dataclasses.replace(mcfg, sample_size=lat)
+        if gradient_checkpointing:
+            mcfg = dataclasses.replace(mcfg, remat=True)
+        model = mmdit_sd3.SD3Transformer2D(cfg=mcfg)
+        shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
+        # SD3-Medium trains under a shifted rectified-flow schedule
+        # (shift 3.0 — the HF scheduler config's `shift`); the model
+        # predicts velocity v, converted to ε for the TDM step
+        schedule = sched.flow_match(shift=3.0)
+
+        def _pooled_of(text, mask):
+            # deterministic pooled stand-in folded from the token stream:
+            # masked mean, tiled/truncated to pooled_dim. A real SD3 run
+            # supplies CLIP-L/G pooled vectors (pipelines/sd3.py does); the
+            # training cache is T5-only, so this keeps the cond pytree
+            # complete and deterministic per prompt.
+            m = mask.astype(text.dtype)[..., None]
+            mean = (text * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+            reps = -(-mcfg.pooled_dim // mean.shape[-1])  # ceil
+            return jnp.tile(mean, (1, reps))[:, : mcfg.pooled_dim]
+
+        def denoise_fn(params, x, t, cond):
+            ctx, pooled = cond
+            v = model.apply({"params": params}, x, t, ctx, pooled)
+            return sched.predicted_noise(
+                schedule, v, t.astype(jnp.int32), x
+            )
+
+        def init_params(rng):
+            return jax.jit(model.init)(
+                rng,
+                jnp.zeros((1, *shape)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 8, mcfg.context_dim)),
+                jnp.zeros((1, mcfg.pooled_dim)),
+            )["params"]
+
+        return FamilyBundle(
+            name=family,
+            model=model,
+            schedule=schedule,
+            sample_shape=shape,
+            seq_len=8 if tiny else 154,  # T5 tokens (joint context)
+            embed_dim=mcfg.context_dim,
+            denoise_fn=denoise_fn,
+            init_params=init_params,
+            cond_of=lambda text, mask: (text, _pooled_of(text, mask)),
+            convert=lambda sd: convert.sd3_params(sd),
+            latent_channels=mcfg.in_channels,
+        )
+
+    # cogvideox
+    from tdm_tpu.io import convert
+    from tdm_tpu.models import cogvideox as cog
+
+    mcfg = cog.CogVideoXConfig.tiny() if tiny else cog.CogVideoXConfig()
+    if gradient_checkpointing:
+        mcfg = dataclasses.replace(mcfg, remat=True)
+    model = cog.CogVideoXTransformer3D(cfg=mcfg)
+    shape = (mcfg.in_channels, mcfg.sample_frames, mcfg.sample_h, mcfg.sample_w)
+    schedule = sched.cogvideox()  # v-prediction, SNR-shifted
+
+    def denoise_fn(params, x, t, cond):
+        v = model.apply({"params": params}, x, t, cond)
+        return sched.predicted_noise(schedule, v, t.astype(jnp.int32), x)
+
+    def init_params(rng):
+        import jax.numpy as jnp  # noqa: F811 (closure clarity)
+
+        return jax.jit(model.init)(
+            rng,
+            jnp.zeros((1, *shape)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, mcfg.max_text_len, mcfg.text_dim)),
+        )["params"]
+
+    def cond_of(text, mask):
+        # CogVideoX passes no mask — fixed-length zero-padded T5 tokens
+        # (`models/cogvideox.py::make_denoise_fn`); zero out padded rows
+        m = mask.astype(text.dtype)[..., None]
+        return text * m
+
+    return FamilyBundle(
+        name=family,
+        model=model,
+        schedule=schedule,
+        sample_shape=shape,
+        seq_len=mcfg.max_text_len,
+        embed_dim=mcfg.text_dim,
+        denoise_fn=denoise_fn,
+        init_params=init_params,
+        cond_of=cond_of,
+        convert=lambda sd: convert.cogvideox_params(sd),
+        latent_channels=mcfg.in_channels,
+    )

@@ -109,6 +109,12 @@ class TrainConfig:
     # 'dmd' = intended trajectory-distribution-matching gradient (default);
     # 'instruct' = the demo's shipped teacher-regression term
     loss_mode: str = "dmd"
+    # TPU extension: which denoiser family to distill. The reference demo
+    # only trains PixArt (src/main.py:168-176); the TDM step is
+    # model-agnostic (ε denoise-fn contract), so sd15 / sd3 (flow) /
+    # cogvideox (v-pred, video) train through the same jitted step
+    # (train/families.py)
+    model_family: str = "pixart"
     # extra fake-score updates per student update (DMD2-style ratio)
     critic_updates: int = 1
     # TPU extension: run the step's NO-GRAD denoiser forwards (rollout,

@@ -111,3 +111,63 @@ def test_parse_args_reference_parity():
     assert cfg.effective_lr(1) == 2e-5
     cfg.scale_lr = True
     assert cfg.effective_lr(2) == 2e-5 * 2 * cfg.train_batch_size
+
+
+def _family_run(tmp_path, monkeypatch, family: str):
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / family)
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+        "--model_family", family,
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all(abs(r["loss_student"]) < 1e6 for r in rows)
+    assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
+
+
+def test_train_cli_model_family_sd3(tmp_path, monkeypatch):
+    """--model_family sd3: the flow-matching MMDiT distills through the
+    same jitted step (velocity → ε via schedules.predicted_noise). The
+    reference only trains PixArt (src/main.py:168-176); family coverage is
+    the TPU extension (train/families.py)."""
+    _family_run(tmp_path, monkeypatch, "sd3")
+
+
+def test_train_cli_model_family_cogvideox(tmp_path, monkeypatch):
+    """--model_family cogvideox: v-prediction VIDEO distillation (5-D
+    latents) through the training CLI end to end."""
+    _family_run(tmp_path, monkeypatch, "cogvideox")
+
+
+def test_train_cli_model_family_sd15(tmp_path, monkeypatch):
+    """--model_family sd15 (UNet). The unscanned conv UNet compiles the
+    TDM step in ~6 min on CPU — far past the suite budget — so this runs
+    only when TDM_RUN_SLOW=1 (it passes; verified manually)."""
+    import pytest
+
+    if os.environ.get("TDM_RUN_SLOW", "") != "1":
+        pytest.skip("sd15 TDM-step CPU compile ~6 min; set TDM_RUN_SLOW=1")
+    _family_run(tmp_path, monkeypatch, "sd15")
+
+
+def test_train_cli_model_family_rejects_unknown():
+    from tdm_tpu.train import families
+
+    import pytest
+
+    with pytest.raises(ValueError, match="model_family"):
+        families.build("sdxl")

@@ -1,12 +1,21 @@
-"""Build an offline T5-embedding cache for image-free TDM training.
+"""Build an offline text-embedding cache for image-free TDM training.
+
+T5 path (PixArt, the reference's encoder — `src/main.py:160-165`):
 
     python -m tdm_tpu.cli.build_cache \
         --prompts prompts.jsonl --caption_column prompt \
         --t5 /ckpts/t5-xxl            # HF dir: safetensors + tokenizer \
         --out cache.npz --max_length 120
 
+Pipeline path (any family; SD3 caches carry the pooled CLIP-L/G vector
+the MMDiT needs as its second conditioning input):
+
+    python -m tdm_tpu.cli.build_cache \
+        --prompts prompts.jsonl --pipeline /ckpts/sd3-medium --family sd3 \
+        --out cache.npz
+
 The cache streams at train time via TDM_EMBEDDING_CACHE (see cli/train_tdm),
-keeping the frozen 4.7B T5 out of training HBM entirely — the TPU-preferred
+keeping the frozen encoders out of training HBM entirely — the TPU-preferred
 replacement for the reference's per-step no-grad T5 forward (`src/main.py:458-461`).
 """
 
@@ -14,6 +23,58 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _build_via_pipeline(args, prompt_list):
+    """Encode with a pipeline's own `encode_prompt` (the same code path
+    inference uses), so the cache matches serving-time conditioning exactly.
+    Return arities per family: pixart/sd15 → (embeds, mask); sd3 →
+    (context, pooled); cogvideox → embeds."""
+    import numpy as np
+
+    from tdm_tpu.data import prompts as data_prompts
+    from tdm_tpu.pipelines import loading
+
+    pipe = loading.from_pretrained(args.pipeline)
+    fam = args.family
+
+    def enc(chunk: list[str]):
+        out = pipe.encode_prompt(chunk)
+        if fam == "sd3":
+            ctx, pooled = out
+            ctx = np.asarray(ctx, np.float16)
+            return ctx, np.ones(ctx.shape[:2], np.int64), np.asarray(
+                pooled, np.float16
+            )
+        if fam == "cogvideox":
+            e = np.asarray(out, np.float16)
+            return e, np.ones(e.shape[:2], np.int64), None
+        e, m = out
+        return np.asarray(e, np.float16), np.asarray(m), None
+
+    bs = args.batch_size
+    embeds, masks, pooleds = [], [], []
+    for i in range(0, len(prompt_list), bs):
+        chunk = list(prompt_list[i : i + bs])
+        pad = bs - len(chunk)  # keep a single compiled shape
+        e, m, p_ = enc(chunk + [""] * pad)
+        embeds.append(e[: len(chunk)])
+        masks.append(m[: len(chunk)])
+        if p_ is not None:
+            pooleds.append(p_[: len(chunk)])
+    u_e, u_m, u_p = enc([""] * bs)
+    cache = data_prompts.EmbeddingCache(
+        np.concatenate(embeds), np.concatenate(masks), list(prompt_list),
+        uncond_embed=u_e[0], uncond_mask=u_m[0],
+        pooled=np.concatenate(pooleds) if pooleds else None,
+        uncond_pooled=u_p[0] if u_p is not None else None,
+    )
+    cache.save(args.out)
+    extra = "" if cache.pooled is None else (
+        f", pooled {cache.pooled.shape}"
+    )
+    print(f"wrote {args.out}: {len(cache.prompts)} prompts, "
+          f"embeds {cache.embeds.shape}{extra}")
 
 
 def main(argv=None) -> None:
@@ -28,8 +89,14 @@ def main(argv=None) -> None:
     p.add_argument("--prompts", required=True,
                    help=".txt / .jsonl / HF dataset name")
     p.add_argument("--caption_column", default="prompt")
-    p.add_argument("--t5", required=True,
+    p.add_argument("--t5", default=None,
                    help="local HF T5 checkpoint dir (weights + tokenizer)")
+    p.add_argument("--pipeline", default=None,
+                   help="pipeline checkpoint dir — encode with the "
+                        "family's own encode_prompt (SD3: stores pooled)")
+    p.add_argument("--family", default="pixart",
+                   choices=("pixart", "sd15", "sd3", "cogvideox"),
+                   help="pipeline family for --pipeline mode")
     p.add_argument("--out", required=True, help="output .npz cache path")
     p.add_argument("--max_length", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=32)
@@ -39,11 +106,16 @@ def main(argv=None) -> None:
     p.add_argument("--num_heads", type=int, default=64)
     p.add_argument("--d_ff", type=int, default=10240)
     args = p.parse_args(argv)
+    if (args.t5 is None) == (args.pipeline is None):
+        p.error("exactly one of --t5 / --pipeline is required")
 
     prompt_list = data_prompts.load_prompts(
         args.prompts, caption_column=args.caption_column,
         max_samples=args.max_samples,
     )
+    if args.pipeline is not None:
+        _build_via_pipeline(args, prompt_list)
+        return
     tokenizer = tok_lib.HFTokenizer(args.t5)
     sd = convert.load_torch_state_dict(args.t5)
     params = convert.to_jax(convert.t5_encoder_params(sd), dtype=jnp.bfloat16)

@@ -51,10 +51,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     # ---- mesh: ('data', 'fsdp') — default all-data-parallel (the
     # reference topology); --fsdp N shards params/optimizer over N
     # ICI-adjacent devices (ZeRO-3 equivalent) ----
-    n_dev = len(jax.devices())
+    devices = jax.devices()
+    if cfg.max_devices > 0:
+        devices = devices[: cfg.max_devices]
+    n_dev = len(devices)
     if n_dev % max(cfg.fsdp, 1) != 0:
         raise ValueError(f"--fsdp {cfg.fsdp} does not divide {n_dev} devices")
-    mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp)
+    mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp, devices=devices)
     # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
     # the jitted step sees the global batch sharded over 'data'. Each HOST
     # loads only its local rows (pmesh.put_batch assembles the global
@@ -119,8 +122,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     tx_s = make_tx()
     tx_c = make_tx()
 
-    # ---- data: prompts → embedding batches ----
+    # ---- data: prompts → embedding batches. get_batch() → (text, mask,
+    # pooled-or-None); pooled rides SD3-style caches (CLIP-L/G vectors) ----
     uncond_pair = None  # (embed [L,D], mask [L]) — empty-prompt embedding
+    uncond_pooled = None  # [P] — empty-prompt pooled vector (SD3 caches)
     emb_cache_path = os.environ.get("TDM_EMBEDDING_CACHE", "")
     if emb_cache_path and os.path.exists(emb_cache_path):
         cache = data_prompts.EmbeddingCache.load(emb_cache_path)
@@ -128,12 +133,18 @@ def main(argv: Optional[list[str]] = None) -> None:
             local_batch, seed=cfg.seed or 0,
             host_index=jax.process_index(), host_count=jax.process_count(),
         )
-        get_batch = lambda: next(batches)
+
+        def get_batch():
+            b = next(batches)
+            return b if len(b) == 3 else (*b, None)
+
         if cache.uncond_embed is not None:
             uncond_pair = (
                 jnp.asarray(cache.uncond_embed, jnp.float32),
                 jnp.asarray(cache.uncond_mask, jnp.int32),
             )
+        if cache.uncond_pooled is not None:
+            uncond_pooled = np.asarray(cache.uncond_pooled, np.float32)
         logger.info("streaming %d cached embeddings", len(cache.prompts))
     else:
         # no cache: tokenize + (random-init unless provided) encoder would
@@ -178,7 +189,7 @@ def main(argv: Optional[list[str]] = None) -> None:
 
         def get_batch():
             b = next(batcher)
-            return proj[b["input_ids"]], b["attention_mask"]
+            return proj[b["input_ids"]], b["attention_mask"], None
 
         logger.warning(
             "no TDM_EMBEDDING_CACHE — using hash pseudo-embeddings "
@@ -266,10 +277,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     val_noise = jax.random.normal(
         jax.random.PRNGKey(42), (n_val, *sample_shape), jnp.float32
     )
-    val_text, val_mask = get_batch()
+    val_text, val_mask, val_pooled = get_batch()
     val_cond = bundle.cond_of(
         jnp.asarray(val_text[:n_val]),
         jnp.asarray(val_mask[:n_val], jnp.int32),
+        None if val_pooled is None else jnp.asarray(val_pooled[:n_val]),
     )
 
     decode_fn = None
@@ -302,12 +314,15 @@ def main(argv: Optional[list[str]] = None) -> None:
     rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
     micro_step = 0
     while global_step < n_total_steps:
-        text_np, mask_np = get_batch()  # [local_batch, ...] host rows
+        text_np, mask_np, pooled_np = get_batch()  # [local_batch, ...] rows
         text_np = np.asarray(text_np, np.float32)
         mask_np = np.asarray(mask_np, np.int32)
         cond = bundle.cond_of(
             pmesh.put_batch(text_np, mesh),
             pmesh.put_batch(mask_np, mesh),
+            None if pooled_np is None else pmesh.put_batch(
+                np.asarray(pooled_np, np.float32), mesh
+            ),
         )
         # CFG null branch: the precomputed empty-prompt T5 embedding when
         # the cache carries it (src/main.py:416-431); zeros in smoke mode
@@ -320,9 +335,20 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
         else:
             u_text, u_mask = np.zeros_like(text_np), mask_np
+        if uncond_pooled is not None:
+            u_pooled = np.broadcast_to(
+                uncond_pooled[None], (text_np.shape[0], *uncond_pooled.shape)
+            )
+        elif pooled_np is not None:
+            u_pooled = np.zeros_like(np.asarray(pooled_np, np.float32))
+        else:
+            u_pooled = None
         uncond = bundle.cond_of(
             pmesh.put_batch(np.ascontiguousarray(u_text), mesh),
             pmesh.put_batch(np.ascontiguousarray(u_mask), mesh),
+            None if u_pooled is None else pmesh.put_batch(
+                np.ascontiguousarray(u_pooled), mesh
+            ),
         )
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen

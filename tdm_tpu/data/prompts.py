@@ -111,10 +111,12 @@ class PromptBatcher:
 
 
 class EmbeddingCache:
-    """Offline T5-embedding cache: encode every prompt once, stream
-    (embeds, mask) batches at train time — the TPU-preferred path (the
-    frozen encoder never occupies training HBM; reference equivalent is the
-    per-step no-grad T5 forward, `src/main.py:458-461`)."""
+    """Offline text-embedding cache: encode every prompt once, stream
+    (embeds, mask[, pooled]) batches at train time — the TPU-preferred path
+    (the frozen encoder never occupies training HBM; reference equivalent is
+    the per-step no-grad T5 forward, `src/main.py:458-461`). SD3-style
+    caches additionally carry the pooled CLIP-L/G vector per prompt
+    (`pooled` [N, P]) for the MMDiT's second conditioning input."""
 
     def __init__(
         self,
@@ -123,6 +125,8 @@ class EmbeddingCache:
         prompts: list[str],
         uncond_embed: Optional[np.ndarray] = None,
         uncond_mask: Optional[np.ndarray] = None,
+        pooled: Optional[np.ndarray] = None,
+        uncond_pooled: Optional[np.ndarray] = None,
     ):
         self.embeds = embeds  # [N, L, D] (fp16/bf16-as-fp32 on disk)
         self.masks = masks  # [N, L]
@@ -131,6 +135,8 @@ class EmbeddingCache:
         # reference precomputes this once, src/main.py:416-431)
         self.uncond_embed = uncond_embed  # [L, D] or None
         self.uncond_mask = uncond_mask  # [L] or None
+        self.pooled = pooled  # [N, P] or None (SD3 pooled CLIP)
+        self.uncond_pooled = uncond_pooled  # [P] or None
 
     @staticmethod
     def build(
@@ -163,6 +169,10 @@ class EmbeddingCache:
                 "uncond_embed": self.uncond_embed,
                 "uncond_mask": self.uncond_mask,
             }
+        if self.pooled is not None:
+            extra["pooled"] = self.pooled
+            if self.uncond_pooled is not None:
+                extra["uncond_pooled"] = self.uncond_pooled
         np.savez_compressed(
             path, embeds=self.embeds, masks=self.masks,
             prompts=np.asarray(self.prompts, dtype=object), **extra,
@@ -175,19 +185,28 @@ class EmbeddingCache:
             z["embeds"], z["masks"], list(z["prompts"]),
             uncond_embed=z["uncond_embed"] if "uncond_embed" in z else None,
             uncond_mask=z["uncond_mask"] if "uncond_mask" in z else None,
+            pooled=z["pooled"] if "pooled" in z else None,
+            uncond_pooled=(
+                z["uncond_pooled"] if "uncond_pooled" in z else None
+            ),
         )
 
     def batches(
         self, batch_size: int, *, seed: int = 0,
         host_index: int = 0, host_count: int = 1,
-    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    ) -> Iterator[tuple]:
+        """Yields (embeds, masks) — or (embeds, masks, pooled) when the
+        cache carries pooled vectors (SD3)."""
         idx_all = np.arange(len(self.prompts))[host_index::host_count]
         rng = np.random.default_rng(seed + host_index)
         while True:
             order = rng.permutation(len(idx_all))
             for s in range(0, len(idx_all) - batch_size + 1, batch_size):
                 sel = idx_all[order[s : s + batch_size]]
-                yield (
+                out = (
                     self.embeds[sel].astype(np.float32),
                     self.masks[sel],
                 )
+                if self.pooled is not None:
+                    out = out + (self.pooled[sel].astype(np.float32),)
+                yield out

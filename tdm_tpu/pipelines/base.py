@@ -52,6 +52,14 @@ class DiffusionPipelineBase:
         # 'int8' → dynamic int8 MXU matmuls for the big Dense layers
         # (ops/quant.py; ~1.7× measured on v5e). Set `pipe.quant = "int8"`.
         self.quant: Optional[str] = None
+        # data-parallel serving: a jax Mesh with a 'data' axis. When set,
+        # calls shard the batch axis of every input over 'data' and
+        # replicate the params; the jitted sampler then compiles SPMD over
+        # the mesh (computation follows sharding — no per-family code).
+        # The reference's only parallelism is DP (src/main.py:321-323);
+        # this is its serving-side equivalent. Set `pipe.data_parallel_mesh
+        # = jax.make_mesh((n,), ('data',))`; batch must divide n.
+        self.data_parallel_mesh: Optional[Any] = None
 
     # ---- LoRA verbs (README.md:45-50,70,96,119) ----
 
@@ -80,11 +88,50 @@ class DiffusionPipelineBase:
     # ---- jit cache ----
 
     def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:
-        key = (*key, self.quant)  # int8/bf16 variants compile separately
+        # int8/bf16 and dp/single-chip variants compile separately
+        key = (*key, self.quant, self.data_parallel_mesh is not None)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._jit_cache[key] = self._with_quant_scope(build())
+            fn = self._jit_cache[key] = self._with_dp(
+                self._with_quant_scope(build())
+            )
         return fn
+
+    def _with_dp(self, fn: Callable) -> Callable:
+        """Shard call inputs over `data_parallel_mesh` before invoking the
+        jitted sampler: batch axis of every data array over 'data', params
+        replicated. jit compiles the SPMD program from the input shardings
+        alone, so every family's sampler parallelizes without family code.
+        Samplers follow the `fn(params, *data)` convention (see callers)."""
+        mesh = self.data_parallel_mesh
+        if mesh is None:
+            return fn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape["data"]
+
+        def shard_data(x):
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return x
+            if x.shape[0] % n != 0:
+                raise ValueError(
+                    f"batch {x.shape[0]} does not divide the 'data' mesh "
+                    f"axis ({n} devices) — pad the prompt list"
+                )
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        def replicate(x):
+            if not hasattr(x, "ndim"):
+                return x
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        def wrapped(params, *data):
+            params = jax.tree.map(replicate, params)
+            data = jax.tree.map(shard_data, data)
+            return fn(params, *data)
+
+        return wrapped
 
     def _with_quant_scope(self, fn: Callable) -> Callable:
         """Run `fn` under the active quantization scope so its FIRST call

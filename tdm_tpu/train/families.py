@@ -32,7 +32,7 @@ class FamilyBundle:
     embed_dim: int  # text embedding dim the data pipeline should produce
     denoise_fn: Callable  # (params, x, t, cond) -> ε̂
     init_params: Callable  # (rng) -> params
-    cond_of: Callable  # (text [B,L,D], mask [B,L]) -> family cond pytree
+    cond_of: Callable  # (text [B,L,D], mask [B,L], pooled=None) -> cond pytree
     convert: Optional[Callable]  # torch state dict -> param tree
     latent_channels: int  # for the validation-decode gate (TAESD is 4-ch)
 
@@ -100,7 +100,7 @@ def build(
             embed_dim=mcfg.caption_dim,
             denoise_fn=denoise_fn,
             init_params=init_params,
-            cond_of=lambda text, mask: (text, mask),
+            cond_of=lambda text, mask, pooled=None: (text, mask),
             convert=lambda sd: convert.pixart_params(sd),
             latent_channels=mcfg.in_channels,
         )
@@ -136,7 +136,7 @@ def build(
             embed_dim=mcfg.context_dim,
             denoise_fn=denoise_fn,
             init_params=init_params,
-            cond_of=lambda text, mask: (text, mask),
+            cond_of=lambda text, mask, pooled=None: (text, mask),
             convert=lambda sd: convert.unet_sd15_params(sd),
             latent_channels=mcfg.in_channels,
         )
@@ -193,7 +193,10 @@ def build(
             embed_dim=mcfg.context_dim,
             denoise_fn=denoise_fn,
             init_params=init_params,
-            cond_of=lambda text, mask: (text, _pooled_of(text, mask)),
+            cond_of=lambda text, mask, pooled=None: (
+                text,
+                _pooled_of(text, mask) if pooled is None else pooled,
+            ),
             convert=lambda sd: convert.sd3_params(sd),
             latent_channels=mcfg.in_channels,
         )
@@ -223,7 +226,7 @@ def build(
             jnp.zeros((1, mcfg.max_text_len, mcfg.text_dim)),
         )["params"]
 
-    def cond_of(text, mask):
+    def cond_of(text, mask, pooled=None):
         # CogVideoX passes no mask — fixed-length zero-padded T5 tokens
         # (`models/cogvideox.py::make_denoise_fn`); zero out padded rows
         m = mask.astype(text.dtype)[..., None]

@@ -97,6 +97,11 @@ class TrainConfig:
     # sharding — the DeepSpeed ZeRO-3 equivalent, src/main.py:141-160;
     # 1 = pure data-parallel, the reference's default topology)
     fsdp: int = 1
+    # TPU extension: cap the local devices joining the mesh (0 = all).
+    # The accelerate `--num_processes` analog (README.md:160) — handy for
+    # pinning a debug run to one chip of a pod (or one virtual device in
+    # the CPU test harness, where SPMD compiles are slow)
+    max_devices: int = 0
 
     # TDM-specific (src/args.py:302-328)
     cfg: float = 4.5

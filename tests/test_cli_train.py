@@ -113,9 +113,12 @@ def test_parse_args_reference_parity():
     assert cfg.effective_lr(2) == 2e-5 * 2 * cfg.train_batch_size
 
 
-def _family_run(tmp_path, monkeypatch, family: str):
+def _family_run(tmp_path, monkeypatch, family: str, cache_path=None):
     monkeypatch.setenv("TDM_TINY_MODEL", "1")
-    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    if cache_path is None:
+        monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    else:
+        monkeypatch.setenv("TDM_EMBEDDING_CACHE", cache_path)
     monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
 
     from tdm_tpu.cli import train_tdm
@@ -131,6 +134,10 @@ def _family_run(tmp_path, monkeypatch, family: str):
         "--learning_rate", "1e-4",
         "--seed", "0",
         "--model_family", family,
+        # one virtual device: the 8-way SPMD compile of a non-pixart step
+        # takes >20 min on XLA:CPU; the 8-device mesh path is covered by
+        # the pixart e2e above and test_tdm_train.py
+        "--max_devices", "1",
     ])
     out_dir = f"{out}_cfg4.5_steps900"
     with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
@@ -139,12 +146,38 @@ def _family_run(tmp_path, monkeypatch, family: str):
     assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
 
 
-def test_train_cli_model_family_sd3(tmp_path, monkeypatch):
-    """--model_family sd3: the flow-matching MMDiT distills through the
-    same jitted step (velocity → ε via schedules.predicted_noise). The
-    reference only trains PixArt (src/main.py:168-176); family coverage is
-    the TPU extension (train/families.py)."""
-    _family_run(tmp_path, monkeypatch, "sd3")
+def test_train_cli_model_family_sd3_with_pooled_cache(tmp_path, monkeypatch):
+    """--model_family sd3 end to end, conditioned from a REAL-shaped
+    embedding cache built through the SD3 pipeline's own triple-encoder
+    `encode_prompt` (build_cache --pipeline --family sd3): the cache
+    carries the pooled CLIP-L/G vector and the trainer threads it into the
+    MMDiT's second conditioning input. The reference only trains PixArt
+    (src/main.py:168-176); family coverage is the TPU extension
+    (train/families.py)."""
+    import numpy as np
+
+    from tdm_tpu.cli import build_cache
+    from tdm_tpu.data.prompts import EmbeddingCache
+    from tdm_tpu.pipelines import loading
+    from tests.test_encode_prompt import _tiny_sd3_pipeline
+
+    prompts_file = tmp_path / "prompts.txt"
+    prompts_file.write_text("a cat\na dog\na panda\na pikachu\n")
+    cache_file = str(tmp_path / "cache.npz")
+    pipe = _tiny_sd3_pipeline()
+    monkeypatch.setattr(loading, "from_pretrained", lambda path: pipe)
+    build_cache.main([
+        "--prompts", str(prompts_file), "--pipeline", "fake-sd3-dir",
+        "--family", "sd3", "--out", cache_file, "--batch_size", "2",
+    ])
+    cache = EmbeddingCache.load(cache_file)
+    assert cache.pooled is not None and cache.pooled.shape[0] == 4
+    assert cache.uncond_pooled is not None
+    emb, mask, pooled = next(cache.batches(2, seed=0))
+    assert pooled.shape == (2, cache.pooled.shape[1])
+    assert np.isfinite(emb).all() and np.isfinite(pooled).all()
+
+    _family_run(tmp_path, monkeypatch, "sd3", cache_path=cache_file)
 
 
 def test_train_cli_model_family_cogvideox(tmp_path, monkeypatch):

@@ -42,11 +42,14 @@ def _clip(hidden, proj, seed):
     return model, params, cfg
 
 
-def test_sd3_triple_encoder_prompt():
-    # context_dim 48 = clip_l(16) + clip_g(24) padded + t5(48); pooled 40
+def _tiny_sd3_pipeline() -> SD3Pipeline:
+    """Tiny SD3 pipeline with all three text encoders attached — shared by
+    the encode_prompt tests here and the pooled-cache training e2e
+    (`test_cli_train.py`). context_dim 48 = clip_l(16)+clip_g(24) padded +
+    t5(48); pooled 16+8 = 24 = MMDiTConfig.tiny().pooled_dim."""
     mcfg = mmdit_sd3.MMDiTConfig.tiny()  # context_dim 48, pooled_dim 24
     clip_l, pl_, _ = _clip(16, 16, 0)
-    clip_g, pg, _ = _clip(24, 8, 1)  # pooled 16+8 = 24 = pooled_dim
+    clip_g, pg, _ = _clip(24, 8, 1)
     t5cfg = t5_mod.T5Config(
         vocab_size=128, d_model=48, d_kv=8, num_heads=4, d_ff=64,
         num_layers=2, dtype=jnp.float32, attn_impl="xla",
@@ -63,7 +66,7 @@ def test_sd3_triple_encoder_prompt():
         jax.random.PRNGKey(3), lat, jnp.zeros((2,)),
         jnp.zeros((2, 6, mcfg.context_dim)), jnp.zeros((2, mcfg.pooled_dim)),
     )["params"]
-    pipe = SD3Pipeline(
+    return SD3Pipeline(
         model, params,
         text_encoders={
             "clip_l": (clip_l, pl_), "clip_g": (clip_g, pg), "t5": (t5, pt5)
@@ -75,6 +78,11 @@ def test_sd3_triple_encoder_prompt():
         max_t5_len=8,
         max_clip_len=16,
     )
+
+
+def test_sd3_triple_encoder_prompt():
+    mcfg = mmdit_sd3.MMDiTConfig.tiny()  # context_dim 48, pooled_dim 24
+    pipe = _tiny_sd3_pipeline()
     ctx, pooled = pipe.encode_prompt(["a cat", "a dog"])
     # 16-token CLIP seq + 8 T5 tokens
     assert ctx.shape == (2, 16 + 8, mcfg.context_dim)

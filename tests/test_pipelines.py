@@ -245,3 +245,41 @@ def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
         CogVideoXPipeline(spm, params, vae_cfg=vcfg)
     with pytest.raises(ValueError, match="sequence_parallel"):
         CogVideoXPipeline(mono, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh)
+
+
+def test_data_parallel_mesh_matches_single_device(pixart_pipe):
+    """`pipe.data_parallel_mesh`: batch sharded over the 8-device 'data'
+    axis, params replicated — the reference's DP (src/main.py:321-323) on
+    the serving side. Latents must match the single-device run exactly
+    (same program, SPMD layout)."""
+    import jax
+
+    from jax.sharding import Mesh
+
+    prompts = ["a cat", "a dog"] * 4  # batch 8 over 8 devices
+    ref = pixart_pipe(
+        prompts, num_inference_steps=4, height=128, width=128, seed=3,
+        output_type="latent",
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    pixart_pipe.data_parallel_mesh = mesh
+    try:
+        dp = pixart_pipe(
+            prompts, num_inference_steps=4, height=128, width=128, seed=3,
+            output_type="latent",
+        )
+        # bf16 latents: SPMD partitioning reorders a few fusions, so allow
+        # 1-ULP bf16 drift (observed: 3/8192 elements, ≤1 ULP)
+        np.testing.assert_allclose(
+            np.asarray(dp.latents, np.float32),
+            np.asarray(ref.latents, np.float32),
+            rtol=0.05, atol=0.1,
+        )
+        # indivisible batch → loud error naming the constraint
+        with pytest.raises(ValueError, match="does not divide"):
+            pixart_pipe(
+                prompts[:3], num_inference_steps=4, height=128, width=128,
+                seed=3, output_type="latent",
+            )
+    finally:
+        pixart_pipe.data_parallel_mesh = None

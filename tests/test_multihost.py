@@ -10,6 +10,7 @@ participating."""
 
 import json
 import os
+import pytest
 import socket
 import subprocess
 import sys
@@ -34,7 +35,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training(tmp_path):
+@pytest.mark.parametrize("fsdp", [1, 2])
+def test_two_process_training(tmp_path, fsdp):
+    """fsdp=2 additionally shards params/optimizer over the 'fsdp' axis of
+    the global mesh (ZeRO-3 equivalent) — exercising cross-process orbax
+    checkpointing of sharded state and the collective replicate-gather at
+    final artifact export."""
     out = str(tmp_path / "mh")
     port = _free_port()
     argv = [
@@ -46,6 +52,7 @@ def test_two_process_training(tmp_path):
         "--checkpointing_steps", "1",
         "--learning_rate", "1e-4",
         "--seed", "0",
+        "--fsdp", str(fsdp),
     ]
     procs = []
     for rank in range(2):

@@ -94,3 +94,41 @@ def test_not_a_repo_id_errors(tmp_path):
         hub.resolve_pretrained(str(tmp_path / "does-not-exist"))
     with pytest.raises(FileNotFoundError, match="neither"):
         hub.resolve_pretrained("a/b/c")
+
+
+def test_push_to_hub_requires_token(monkeypatch):
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    with pytest.raises(RuntimeError, match="token"):
+        hub.push_to_hub("some/folder", "org/repo")
+
+
+def test_push_to_hub_calls_api(monkeypatch, tmp_path):
+    """create_repo(exist_ok) + upload_folder with the given folder —
+    the reference's create_repo/upload_folder pair (src/main.py:125-128),
+    exercised against a stub HfApi (zero-egress environment)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeApi:
+        def __init__(self, token=None):
+            calls["token"] = token
+
+        def create_repo(self, repo_id, exist_ok=False, private=True):
+            calls["create"] = (repo_id, exist_ok, private)
+            return types.SimpleNamespace(repo_id=repo_id)
+
+        def upload_folder(self, repo_id, folder_path, commit_message):
+            calls["upload"] = (repo_id, folder_path, commit_message)
+
+    fake_mod = types.ModuleType("huggingface_hub")
+    fake_mod.HfApi = FakeApi
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake_mod)
+    url = hub.push_to_hub(
+        str(tmp_path), "org/repo", token="tok", commit_message="msg"
+    )
+    assert url == "org/repo"
+    assert calls["token"] == "tok"
+    assert calls["create"] == ("org/repo", True, True)
+    assert calls["upload"] == ("org/repo", str(tmp_path), "msg")

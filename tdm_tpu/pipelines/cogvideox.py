@@ -120,6 +120,13 @@ class CogVideoXPipeline(DiffusionPipelineBase):
                     for t in sched.fewstep_grid(1000, num_inference_steps).tolist()
                 )
             )
+        if self.sp_mesh is not None and self.data_parallel_mesh is not None:
+            raise ValueError(
+                "sequence_parallel_mesh and data_parallel_mesh are mutually "
+                "exclusive on one pipeline — use a single ('data','sp') "
+                "mesh via sequence_parallel_mesh (its 'data' axis already "
+                "shards the batch)"
+            )
         key = (tuple(timesteps), f_lat, lat_h, lat_w, use_cfg,
                float(guidance_scale or 1.0))
         fn = self._cached(key, lambda: self._build_sampler(*key))

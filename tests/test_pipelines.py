@@ -245,6 +245,13 @@ def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
         CogVideoXPipeline(spm, params, vae_cfg=vcfg)
     with pytest.raises(ValueError, match="sequence_parallel"):
         CogVideoXPipeline(mono, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh)
+    # SP and DP meshes are mutually exclusive on one pipeline
+    sp_pipe = CogVideoXPipeline(
+        spm, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh
+    )
+    sp_pipe.data_parallel_mesh = mesh
+    with pytest.raises(ValueError, match="mutually"):
+        sp_pipe(**kw)
 
 
 def test_data_parallel_mesh_matches_single_device(pixart_pipe):

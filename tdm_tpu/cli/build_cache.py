@@ -36,7 +36,19 @@ def _build_via_pipeline(args, prompt_list):
     from tdm_tpu.pipelines import loading
 
     pipe = loading.from_pretrained(args.pipeline)
-    fam = args.family
+    # derive the family from the loaded pipeline itself; an explicit
+    # --family must agree (a wrong one would mis-unpack encode_prompt's
+    # return — e.g. caching an SD3 pooled vector as the attention mask)
+    fam = getattr(pipe, "family", None) or args.family
+    if args.family and fam != args.family:
+        raise SystemExit(
+            f"--family {args.family} does not match the loaded pipeline "
+            f"(family {fam!r}); drop the flag or fix it"
+        )
+    if fam is None:
+        raise SystemExit(
+            "could not derive the pipeline family; pass --family"
+        )
 
     def enc(chunk: list[str]):
         out = pipe.encode_prompt(chunk)
@@ -94,9 +106,10 @@ def main(argv=None) -> None:
     p.add_argument("--pipeline", default=None,
                    help="pipeline checkpoint dir — encode with the "
                         "family's own encode_prompt (SD3: stores pooled)")
-    p.add_argument("--family", default="pixart",
+    p.add_argument("--family", default=None,
                    choices=("pixart", "sd15", "sd3", "cogvideox"),
-                   help="pipeline family for --pipeline mode")
+                   help="pipeline family for --pipeline mode (derived "
+                        "from the pipeline itself when omitted)")
     p.add_argument("--out", required=True, help="output .npz cache path")
     p.add_argument("--max_length", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=32)

@@ -16,7 +16,6 @@ Pipeline per §3.1 with the §2 defects fixed (see train/tdm.py):
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
 from typing import Optional
@@ -53,6 +52,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     # ICI-adjacent devices (ZeRO-3 equivalent) ----
     devices = jax.devices()
     if cfg.max_devices > 0:
+        if jax.process_count() > 1:
+            # jax.devices() is GLOBAL: slicing it under multi-process
+            # would strip other processes' devices from the mesh and
+            # deadlock put_batch — the cap is a single-process debug knob
+            raise ValueError(
+                "--max_devices is only supported in single-process runs"
+            )
         devices = devices[: cfg.max_devices]
     n_dev = len(devices)
     if n_dev % max(cfg.fsdp, 1) != 0:

@@ -200,6 +200,35 @@ def flow_match(
 # ---------------------------------------------------------------------------
 
 
+def native_target(
+    schedule: NoiseSchedule,
+    x0: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """The denoising-score-matching regression target in the schedule's
+    NATIVE parameterization, given the clean sample and the true noise:
+
+      epsilon:       ε
+      v_prediction:  v = α·ε − σ·x₀
+      flow:          v = ε − x₀
+
+    Finite everywhere — including the terminal timestep of zero-terminal-
+    SNR schedules (CogVideoX), where α = 0 makes any ε-space x₀ recovery
+    divide by zero. This is exactly why those models train in v space; the
+    TDM step's critic DSM loss uses this so the whole step stays in the
+    model's native output space (train/tdm.py)."""
+    if schedule.prediction_type == EPSILON:
+        return eps
+    a, s = alpha_sigma(schedule, t, x0.ndim)
+    x0f, ef = x0.astype(jnp.float32), eps.astype(jnp.float32)
+    if schedule.prediction_type == V_PREDICTION:
+        return a * ef - s * x0f
+    if schedule.prediction_type == FLOW:
+        return ef - x0f
+    raise ValueError(f"unknown prediction_type {schedule.prediction_type!r}")
+
+
 def alpha_sigma(
     schedule: NoiseSchedule, t: jnp.ndarray, ndim: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

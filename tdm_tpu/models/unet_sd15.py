@@ -44,6 +44,10 @@ class UNetConfig:
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    # --gradient_checkpointing: rematerialize every ResBlock /
+    # SpatialTransformer in the backward pass (the torch
+    # unet.enable_gradient_checkpointing(), reference src/main.py:191-193)
+    remat: bool = False
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -147,6 +151,11 @@ class UNet2DCondition(nn.Module):
         n_stages = len(widths)
         temb_dim = widths[0] * 4
 
+        # remat wrapping preserves module names → converted checkpoints and
+        # the kohya LoRA key map are layout-identical either way
+        Res = nn.remat(ResBlock) if c.remat else ResBlock
+        Spatial = nn.remat(SpatialTransformer) if c.remat else SpatialTransformer
+
         x = jnp.transpose(latent, (0, 2, 3, 1)).astype(c.dtype)
         context = context.astype(c.dtype)
 
@@ -166,10 +175,10 @@ class UNet2DCondition(nn.Module):
         for i, w in enumerate(widths):
             has_attn = i < n_stages - 1  # last stage is DownBlock2D (no attn)
             for j in range(c.layers_per_block):
-                x = ResBlock(w, c.norm_groups, c.dtype,
+                x = Res(w, c.norm_groups, c.dtype,
                              name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn:
-                    x = SpatialTransformer(cfg=c, width=w,
+                    x = Spatial(cfg=c, width=w,
                                            name=f"down_{i}_attn_{j}")(
                         x, context, context_mask
                     )
@@ -181,11 +190,11 @@ class UNet2DCondition(nn.Module):
                 skips.append(x)
 
         # ---- mid ----
-        x = ResBlock(widths[-1], c.norm_groups, c.dtype, name="mid_res_0")(x, temb)
-        x = SpatialTransformer(cfg=c, width=widths[-1], name="mid_attn")(
+        x = Res(widths[-1], c.norm_groups, c.dtype, name="mid_res_0")(x, temb)
+        x = Spatial(cfg=c, width=widths[-1], name="mid_attn")(
             x, context, context_mask
         )
-        x = ResBlock(widths[-1], c.norm_groups, c.dtype, name="mid_res_1")(x, temb)
+        x = Res(widths[-1], c.norm_groups, c.dtype, name="mid_res_1")(x, temb)
 
         # ---- up ----
         for i, w in enumerate(reversed(widths)):
@@ -194,10 +203,10 @@ class UNet2DCondition(nn.Module):
             for j in range(c.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(w, c.norm_groups, c.dtype,
+                x = Res(w, c.norm_groups, c.dtype,
                              name=f"up_{i}_res_{j}")(x, temb)
                 if has_attn:
-                    x = SpatialTransformer(cfg=c, width=w,
+                    x = Spatial(cfg=c, width=w,
                                            name=f"up_{i}_attn_{j}")(
                         x, context, context_mask
                     )

@@ -102,31 +102,39 @@ class DiffusionPipelineBase:
         jitted sampler: batch axis of every data array over 'data', params
         replicated. jit compiles the SPMD program from the input shardings
         alone, so every family's sampler parallelizes without family code.
-        Samplers follow the `fn(params, *data)` convention (see callers)."""
-        mesh = self.data_parallel_mesh
-        if mesh is None:
+        Samplers follow the `fn(params, *data)` convention (see callers).
+
+        The CURRENT mesh is read at every call (not captured at build):
+        reassigning `pipe.data_parallel_mesh` takes effect immediately —
+        jit reshards/recompiles per the new input shardings."""
+        if self.data_parallel_mesh is None:
             return fn
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n = mesh.shape["data"]
-
-        def shard_data(x):
-            if not hasattr(x, "ndim") or x.ndim == 0:
-                return x
-            if x.shape[0] % n != 0:
-                raise ValueError(
-                    f"batch {x.shape[0]} does not divide the 'data' mesh "
-                    f"axis ({n} devices) — pad the prompt list"
-                )
-            spec = P("data", *([None] * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-
-        def replicate(x):
-            if not hasattr(x, "ndim"):
-                return x
-            return jax.device_put(x, NamedSharding(mesh, P()))
+        pipe = self
 
         def wrapped(params, *data):
+            mesh = pipe.data_parallel_mesh
+            if mesh is None:  # DP switched off after this entry was cached
+                return fn(params, *data)
+            n = mesh.shape["data"]
+
+            def shard_data(x):
+                if not hasattr(x, "ndim") or x.ndim == 0:
+                    return x
+                if x.shape[0] % n != 0:
+                    raise ValueError(
+                        f"batch {x.shape[0]} does not divide the 'data' "
+                        f"mesh axis ({n} devices) — pad the prompt list"
+                    )
+                spec = P("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            def replicate(x):
+                if not hasattr(x, "ndim"):
+                    return x
+                return jax.device_put(x, NamedSharding(mesh, P()))
+
             params = jax.tree.map(replicate, params)
             data = jax.tree.map(shard_data, data)
             return fn(params, *data)

@@ -2,12 +2,15 @@
 
 The reference demo trains ONE family (PixArt-α, `src/main.py:168-176`) and
 ships inference-only recipes for the rest (`README.md:44-138`). The TDM step
-itself is model-agnostic — it consumes an ε-space `denoise_fn(params, x, t,
-cond)` with an opaque cond pytree (train/tdm.py) — so this registry extends
-training to every family in the zoo: `--model_family pixart|sd15|sd3|
-cogvideox`. v-prediction (CogVideoX) and flow-matching (SD3) models wrap
-their native output with `schedules.predicted_noise` so the step's critic /
-transport math stays in ε space.
+itself is model-agnostic — `denoise_fn(params, x, t, cond)` returns the
+model's output in its schedule's NATIVE parameterization (ε for DDPM
+schedules, v for v-prediction, velocity for rectified flow) with an opaque
+cond pytree, and every conversion inside the step goes through the
+prediction-type-aware schedule math (`predicted_origin`, `predicted_noise`,
+`native_target`). That keeps zero-terminal-SNR schedules (CogVideoX) finite
+— an ε-space contract would divide by α = 0 at the terminal timestep. So
+this registry extends training to every family in the zoo:
+`--model_family pixart|sd15|sd3|cogvideox`.
 
 Each bundle carries everything the CLI needs that differs per family:
 the Flax model, the ε-space training schedule, the latent sample shape,
@@ -30,7 +33,7 @@ class FamilyBundle:
     sample_shape: tuple  # per-sample latent shape, no batch axis
     seq_len: int  # text token length the data pipeline should produce
     embed_dim: int  # text embedding dim the data pipeline should produce
-    denoise_fn: Callable  # (params, x, t, cond) -> ε̂
+    denoise_fn: Callable  # (params, x, t, cond) -> native model output
     init_params: Callable  # (rng) -> params
     cond_of: Callable  # (text [B,L,D], mask [B,L], pooled=None) -> cond pytree
     convert: Optional[Callable]  # torch state dict -> param tree
@@ -110,6 +113,8 @@ def build(
         from tdm_tpu.models import unet_sd15
 
         mcfg = unet_sd15.UNetConfig.tiny() if tiny else unet_sd15.UNetConfig()
+        if gradient_checkpointing:
+            mcfg = dataclasses.replace(mcfg, remat=True)
         model = unet_sd15.UNet2DCondition(cfg=mcfg)
         shape = (mcfg.in_channels, lat, lat)
 
@@ -153,8 +158,12 @@ def build(
         model = mmdit_sd3.SD3Transformer2D(cfg=mcfg)
         shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
         # SD3-Medium trains under a shifted rectified-flow schedule
-        # (shift 3.0 — the HF scheduler config's `shift`); the model
-        # predicts velocity v, converted to ε for the TDM step
+        # (shift 3.0 — the HF scheduler config's `shift`). The model's raw
+        # velocity output is passed straight through: the TDM step is
+        # parameterization-aware (predicted_origin / predicted_noise /
+        # native_target branch on schedule.prediction_type), so NO
+        # conversion happens here — converting to ε would be singular at
+        # zero terminal SNR and double-convert inside the step
         schedule = sched.flow_match(shift=3.0)
 
         def _pooled_of(text, mask):
@@ -170,10 +179,7 @@ def build(
 
         def denoise_fn(params, x, t, cond):
             ctx, pooled = cond
-            v = model.apply({"params": params}, x, t, ctx, pooled)
-            return sched.predicted_noise(
-                schedule, v, t.astype(jnp.int32), x
-            )
+            return model.apply({"params": params}, x, t, ctx, pooled)
 
         def init_params(rng):
             return jax.jit(model.init)(
@@ -210,11 +216,13 @@ def build(
         mcfg = dataclasses.replace(mcfg, remat=True)
     model = cog.CogVideoXTransformer3D(cfg=mcfg)
     shape = (mcfg.in_channels, mcfg.sample_frames, mcfg.sample_h, mcfg.sample_w)
-    schedule = sched.cogvideox()  # v-prediction, SNR-shifted
+    # v-prediction, SNR-shifted, ZERO terminal SNR — raw v output passed
+    # through (see the sd3 branch note: the step is parameterization-aware
+    # and ε conversion would be singular at the terminal timestep)
+    schedule = sched.cogvideox()
 
     def denoise_fn(params, x, t, cond):
-        v = model.apply({"params": params}, x, t, cond)
-        return sched.predicted_noise(schedule, v, t.astype(jnp.int32), x)
+        return model.apply({"params": params}, x, t, cond)
 
     def init_params(rng):
         import jax.numpy as jnp  # noqa: F811 (closure clarity)

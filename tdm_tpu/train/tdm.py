@@ -182,6 +182,18 @@ def build_train_step(
     stalls compilation. sample_shape: latent shape per sample, e.g.
     (4, 64, 64) (`src/main.py:443`).
     """
+    if (
+        config.loss_mode == "instruct"
+        and schedule.prediction_type != sched.EPSILON
+    ):
+        # the demo's transport/mixed-noise term is ε/DDPM math
+        # (src/predictor.py:76-97) — undefined for flow schedules and
+        # singular at the zero-terminal-SNR top level; the reference only
+        # ever runs it on PixArt's ε schedule. 'dmd' handles all types.
+        raise ValueError(
+            "loss_mode='instruct' requires an epsilon-prediction schedule; "
+            f"got {schedule.prediction_type!r} — use loss_mode='dmd'"
+        )
     grid = sched.fewstep_grid(config.total_steps, config.num_steps)
     levels = segment_levels(config)
 
@@ -302,10 +314,18 @@ def build_train_step(
             # draws from the same per-sample segment interval (DMD2-style
             # critic:student ratio) ----
             def one_critic_update(critic, critic_opt, x_t_i, t_i, eps_i):
+                # DSM regression in the schedule's NATIVE output space
+                # (ε / v / flow-velocity): ε-space targets are singular at
+                # the terminal step of zero-terminal-SNR schedules
+                # (schedules.native_target docstring)
+                target_i = sched.native_target(
+                    schedule, x0_gen_sg, eps_i, t_i
+                )
+
                 def critic_loss_fn(critic_params):
-                    eps_pred = denoise_fn(critic_params, x_t_i, t_i, cond)
+                    out_pred = denoise_fn(critic_params, x_t_i, t_i, cond)
                     return jnp.mean(
-                        (eps_pred.astype(jnp.float32) - eps_i) ** 2
+                        (out_pred.astype(jnp.float32) - target_i) ** 2
                     )
 
                 loss, grads = jax.value_and_grad(critic_loss_fn)(critic)

@@ -77,3 +77,77 @@ def test_resolution_sets_latent_size():
 def test_unknown_family_raises():
     with pytest.raises(ValueError, match="model_family"):
         families.build("sdxl")
+
+
+@pytest.mark.parametrize("name", families.FAMILIES)
+def test_bundle_schedule_is_native(name):
+    """Each bundle carries its schedule's NATIVE prediction type and a
+    denoise_fn returning the raw model output — all conversions happen
+    inside the prediction-type-aware step. (Regression: an ε-converted
+    contract double-converted inside the step — sd3 recovered x₀=0.174
+    instead of 0.7 — and was singular at CogVideoX's zero-terminal-SNR
+    top timestep.)"""
+    from tdm_tpu.core import schedules as sched
+
+    b = families.build(name, tiny=True)
+    expected = {
+        "pixart": sched.EPSILON,
+        "sd15": sched.EPSILON,
+        "sd3": sched.FLOW,
+        "cogvideox": sched.V_PREDICTION,
+    }[name]
+    assert b.schedule.prediction_type == expected
+
+
+@pytest.mark.parametrize(
+    "native_fn", ["ddpm_linear", "flow_match", "cogvideox"],
+    ids=["eps", "flow", "v_pred"],
+)
+def test_native_target_is_the_dsm_fixed_point(native_fn):
+    """native_target(schedule, x0, ε, t) is exactly the output a PERFECT
+    model produces at x_t = add_noise(x0, ε, t): predicted_origin of it
+    recovers x0 and predicted_noise recovers ε — including at the terminal
+    timestep of the zero-terminal-SNR CogVideoX schedule, where ε-space
+    recovery divides by α = 0."""
+    from tdm_tpu.core import schedules as sched
+
+    native = getattr(sched, native_fn)()
+    x0 = jnp.full((2, 1, 4, 4), 0.7)
+    eps = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    t = jnp.array([500, native.num_train_timesteps - 1])  # incl. terminal
+    x_t = sched.add_noise(native, x0, eps, t)
+    out = sched.native_target(native, x0, eps, t)
+    got_x0 = sched.predicted_origin(native, out, t, x_t)
+    np.testing.assert_allclose(np.asarray(got_x0), np.asarray(x0), atol=1e-4)
+    if native_fn != "cogvideox":
+        # ε recovery (v-pred terminal row is α=0: ε enters x_t directly,
+        # fine; for DDPM/flow also check the noise round-trip)
+        got_eps = sched.predicted_noise(native, out, t, x_t)
+        np.testing.assert_allclose(
+            np.asarray(got_eps), np.asarray(eps), atol=1e-4
+        )
+    else:
+        # zero-terminal row: α=0 ⇒ x_t = ε and the native v target stays
+        # finite where the ε-space x₀ formula is 0/0
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(x_t[1]), np.asarray(eps[1]), atol=1e-5
+        )
+
+
+def test_instruct_mode_rejects_non_epsilon_schedules():
+    """The demo's 'instruct' term is ε/DDPM transport math
+    (src/predictor.py:76-97) — undefined for flow / zero-terminal-SNR
+    schedules; build_train_step must refuse rather than NaN."""
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.train import optim as topt, tdm
+
+    tx = topt.make_optimizer(1e-3)
+    with pytest.raises(ValueError, match="instruct"):
+        tdm.build_train_step(
+            lambda p, x, t, c: x,
+            {"w": jnp.zeros(2)},
+            sched.cogvideox(),
+            tdm.TDMConfig(loss_mode="instruct"),
+            tx, tx, sample_shape=(1, 4, 4),
+        )

@@ -288,5 +288,15 @@ def test_data_parallel_mesh_matches_single_device(pixart_pipe):
                 prompts[:3], num_inference_steps=4, height=128, width=128,
                 seed=3, output_type="latent",
             )
+        # reassigning the mesh takes effect on the NEXT call (the wrapper
+        # reads the live attribute — regression: a cached closure kept the
+        # old mesh)
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("data",))
+        pixart_pipe.data_parallel_mesh = mesh4
+        dp4 = pixart_pipe(
+            prompts, num_inference_steps=4, height=128, width=128, seed=3,
+            output_type="latent",
+        )
+        assert dp4.latents.sharding.mesh.devices.size == 4
     finally:
         pixart_pipe.data_parallel_mesh = None

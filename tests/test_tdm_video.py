@@ -1,7 +1,7 @@
 """TDM distillation on the VIDEO family: tiny CogVideoX (v-prediction,
-5-D latents) through the same jitted train step — proving the step is
-model-agnostic via the ε-denoise-fn contract (a v-pred model wraps its
-output with `predicted_noise`)."""
+ZERO-terminal-SNR schedule, 5-D latents) through the same jitted train
+step — proving the step is model-agnostic via the native-output contract
+(all conversions branch on schedule.prediction_type inside the step)."""
 
 import jax
 import jax.numpy as jnp
@@ -15,9 +15,7 @@ from tdm_tpu.train import optim as topt, tdm
 def test_video_tdm_step_runs_and_updates():
     cfg = cog.CogVideoXConfig.tiny()
     model = cog.CogVideoXTransformer3D(cfg=cfg)
-    schedule = sched.cogvideox()  # v-prediction, SNR-shifted
-    # ε-space schedule view for the step's critic/transport math: same
-    # tables, ε conversions handled in the wrapper below
+    schedule = sched.cogvideox()  # v-prediction, SNR-shifted, zero-terminal
     b = 2
     sample_shape = (16, cfg.sample_frames, cfg.sample_h, cfg.sample_w)
     lat = jnp.zeros((b, *sample_shape))
@@ -29,10 +27,9 @@ def test_video_tdm_step_runs_and_updates():
     ]
 
     def denoise_fn(params, x, t, cond):
-        # model predicts v; the TDM step consumes ε — convert with the
-        # schedule (eps = f(v, x, t)); cond is the raw T5 embedding tensor
-        v = model.apply({"params": params}, x, t, cond)
-        return sched.predicted_noise(schedule, v, t.astype(jnp.int32), x)
+        # raw v output — the step branches on schedule.prediction_type for
+        # every conversion (ε-space would be singular at zero terminal SNR)
+        return model.apply({"params": params}, x, t, cond)
 
     config = tdm.TDMConfig(
         total_steps=1000, num_steps=4, cfg=3.0, use_separate=True
@@ -93,8 +90,7 @@ def test_video_tdm_step_sequence_parallel():
 
     def run(denoise_raw):
         def denoise_fn(params, x, t, cond):
-            v = denoise_raw(params, x, t, cond)
-            return sched.predicted_noise(schedule, v, t.astype(jnp.int32), x)
+            return denoise_raw(params, x, t, cond)
 
         config = tdm.TDMConfig(
             total_steps=1000, num_steps=4, cfg=3.0, use_separate=True
@@ -119,8 +115,12 @@ def test_video_tdm_step_sequence_parallel():
         bb = float(getattr(m_mono, name))
         assert np.isfinite(a)
         np.testing.assert_allclose(a, bb, rtol=1e-3, err_msg=name)
-    # updated params agree across the two execution layouts
+    # updated params agree across the two execution layouts. Bound: one
+    # Adam step moves each weight by at most ~lr (1e-3); where the true
+    # grad is near zero, the ring layout's ~1e-6 forward noise can flip
+    # the normalized update's sign, so two layouts may differ by up to
+    # ~2·lr on such weights — anything beyond that means real divergence.
     for x, y in zip(jax.tree.leaves(s_sp.student), jax.tree.leaves(s_mono.student)):
         np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), atol=2e-4, rtol=5e-4
+            np.asarray(x), np.asarray(y), atol=2.5e-3, rtol=0
         )

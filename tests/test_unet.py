@@ -72,3 +72,43 @@ def test_odd_resolution_rejected(tiny_unet):
     bad = jnp.zeros((2, 4, 15, 15))
     with pytest.raises(Exception):
         model.apply({"params": params}, bad, t, context, mask)
+
+
+def test_remat_preserves_params_forward_and_grads():
+    """cfg.remat (the --gradient_checkpointing wiring for the sd15 family)
+    must be a pure memory/compute trade: identical param tree (converted
+    checkpoints and LoRA key maps stay valid), identical forward, and
+    matching gradients."""
+    import dataclasses
+
+    import jax
+
+    cfg = unet_sd15.UNetConfig.tiny()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    m = unet_sd15.UNet2DCondition(cfg=cfg)
+    mr = unet_sd15.UNet2DCondition(cfg=cfg_r)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.context_dim))
+    mask = jnp.ones((1, 6), jnp.int32)
+    params = m.init(jax.random.PRNGKey(2), lat, t, ctx, mask)["params"]
+    params_r = mr.init(jax.random.PRNGKey(2), lat, t, ctx, mask)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+    out = m.apply({"params": params}, lat, t, ctx, mask)
+    out_r = mr.apply({"params": params}, lat, t, ctx, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_r), atol=1e-5
+    )
+
+    def loss(mod):
+        return lambda p: jnp.sum(
+            jnp.square(mod.apply({"params": p}, lat, t, ctx, mask))
+        )
+
+    g = jax.grad(loss(m))(params)
+    g_r = jax.grad(loss(mr))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3
+        )

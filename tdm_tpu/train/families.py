@@ -13,7 +13,7 @@ this registry extends training to every family in the zoo:
 `--model_family pixart|sd15|sd3|cogvideox`.
 
 Each bundle carries everything the CLI needs that differs per family:
-the Flax model, the ε-space training schedule, the latent sample shape,
+the Flax model, the native training schedule, the latent sample shape,
 text-conditioning plumbing (embedding dim, token length, cond pytree
 construction), the checkpoint converter, and parameter init.
 """
@@ -29,7 +29,7 @@ from typing import Any, Callable, Optional
 class FamilyBundle:
     name: str
     model: Any  # Flax module
-    schedule: Any  # NoiseSchedule (ε-space view for the TDM step)
+    schedule: Any  # NoiseSchedule, NATIVE prediction type (see module doc)
     sample_shape: tuple  # per-sample latent shape, no batch axis
     seq_len: int  # text token length the data pipeline should produce
     embed_dim: int  # text embedding dim the data pipeline should produce

@@ -50,7 +50,10 @@ from flax import struct
 from tdm_tpu.core import sampling, schedules as sched
 from tdm_tpu.train import optim as topt
 
-# denoise_fn(params, x, t, cond) -> ε-prediction (model wrapper handles
+# denoise_fn(params, x, t, cond) -> the model's output in its schedule's
+# NATIVE parameterization (ε / v / flow velocity — do NOT pre-convert: the
+# step branches on schedule.prediction_type; an ε-converted input would be
+# double-converted and is singular at zero terminal SNR). The wrapper handles
 # variance-channel splits etc.). cond is (text_embeds, text_mask).
 ParamDenoiseFn = Callable[[Any, jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
 

@@ -115,12 +115,14 @@ def test_video_tdm_step_sequence_parallel():
         bb = float(getattr(m_mono, name))
         assert np.isfinite(a)
         np.testing.assert_allclose(a, bb, rtol=1e-3, err_msg=name)
-    # updated params agree across the two execution layouts. Bound: one
+    # updated params agree across the two execution layouts. Bounds: one
     # Adam step moves each weight by at most ~lr (1e-3); where the true
     # grad is near zero, the ring layout's ~1e-6 forward noise can flip
-    # the normalized update's sign, so two layouts may differ by up to
-    # ~2·lr on such weights — anything beyond that means real divergence.
+    # the normalized update's sign, so ISOLATED weights may differ by up
+    # to ~2·lr. Such flips must stay rare: the MEAN |Δ| over each leaf is
+    # also bounded well below one step, catching any systematic layout
+    # divergence the per-element bound would let through.
     for x, y in zip(jax.tree.leaves(s_sp.student), jax.tree.leaves(s_mono.student)):
-        np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), atol=2.5e-3, rtol=0
-        )
+        d = np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64))
+        assert d.max() <= 2.5e-3, f"max |Δ| {d.max():.2e} > 2 Adam steps"
+        assert d.mean() <= 2e-4, f"mean |Δ| {d.mean():.2e} — systematic"

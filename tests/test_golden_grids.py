@@ -137,3 +137,27 @@ def test_golden_taesd_decode():
     params = dec.init(jax.random.PRNGKey(11), z)["params"]
     img = dec.apply({"params": params}, z / cfg.scaling_factor)
     _check("taesd_tiny_decode", np.asarray(img, np.float32))
+
+
+def test_golden_sd15_dpm_solver():
+    """Tiny SD1.5 UNet through DPM-Solver++(2M) on the scaled-linear DDPM
+    grid — the Dreamshaper recipe's sampler (reference README.md:95-107,
+    seed 317, 4 steps, cfg 1). Completes golden coverage of all four
+    denoiser families."""
+    from tdm_tpu.models import unet_sd15
+
+    cfg = unet_sd15.UNetConfig.tiny()
+    model = unet_sd15.UNet2DCondition(cfg=cfg)
+    b = 2
+    noise = jax.random.normal(jax.random.PRNGKey(317), (b, 4, 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(46), (b, 6, cfg.context_dim)) * 0.1
+    mask = jnp.ones((b, 6), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(11), noise, jnp.zeros((b,)), ctx, mask
+    )["params"]
+    fn = unet_sd15.make_denoise_fn(model, params)
+    schedule = sched.ddpm_scaled_linear()
+    latents = solvers.sample_dpm_solver(
+        fn, solvers.ddpm_grid(schedule, 4), noise, (ctx, mask)
+    )
+    _check("sd15_tiny_4nfe_dpm", np.asarray(latents, np.float32))

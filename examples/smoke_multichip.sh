@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Multi-chip smoke on 8 VIRTUAL CPU devices: data-parallel + FSDP=2
+# (ZeRO-3-equivalent param/optimizer sharding). On a real TPU host, drop
+# the XLA_FLAGS/JAX_PLATFORMS lines — all local chips join the mesh
+# automatically.
+set -euo pipefail
+OUT=${1:-/tmp/tdm_smoke_mc}
+export TDM_TINY_MODEL=1 JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu
+export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+
+python -m tdm_tpu.cli.train_tdm \
+  --output_dir "$OUT" --train_data_dir "" --dataset_name smoke \
+  --train_batch_size 1 --max_train_steps 2 --checkpointing_steps 2 \
+  --learning_rate 1e-4 --seed 0 --fsdp 2
+
+RUN_DIR="${OUT}_cfg4.5_steps900"
+echo "--- metrics ---"; cat "$RUN_DIR/logs/metrics.jsonl"

@@ -63,13 +63,11 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def _cached_embeds(cache_path: str, prompts: list[str]):
-    """(embeds [B,L,D], masks [B,L]) looked up by exact prompt text."""
+def _cached_embeds(cache, cache_path: str, prompts: list[str]):
+    """(embeds [B,L,D], masks [B,L], pooled [B,P] | None) looked up by
+    exact prompt text."""
     import numpy as np
 
-    from tdm_tpu.data.prompts import EmbeddingCache
-
-    cache = EmbeddingCache.load(cache_path)
     idx = []
     for pr in prompts:
         try:
@@ -80,9 +78,15 @@ def _cached_embeds(cache_path: str, prompts: list[str]):
                 f"({cache_path}); rebuild it with cli/build_cache"
             )
     sel = np.asarray(idx)
+    pooled = (
+        cache.pooled[sel].astype(np.float32)
+        if cache.pooled is not None
+        else None
+    )
     return (
         cache.embeds[sel].astype(np.float32),
         cache.masks[sel].astype(np.int32),
+        pooled,
     )
 
 
@@ -114,33 +118,84 @@ def main(argv: Optional[list[str]] = None) -> None:
         v = getattr(args, k)
         if v is not None:
             call[k] = v
-    if args.negative_prompt is not None:
-        call["negative_prompt"] = list(args.negative_prompt)
     prompts = list(args.prompt)
 
     accepted = inspect.signature(type(pipe).__call__).parameters
     call = {k: v for k, v in call.items() if k in accepted}
+    neg_prompts = (
+        list(args.negative_prompt) if args.negative_prompt is not None
+        else None
+    )
 
     has_encoders = bool(
         getattr(pipe, "text_encoder", None)
         or getattr(pipe, "text_encoders", None)
     )
     if has_encoders:
+        if neg_prompts is not None:
+            if "negative_prompt" not in accepted:
+                raise SystemExit(
+                    f"{type(pipe).__name__} does not take a negative prompt"
+                )
+            call["negative_prompt"] = neg_prompts
         out = pipe(prompts, **call)
     elif args.embedding_cache:
-        # CogVideoX conditions on the embedding sequence alone (its joint
-        # attention carries no key-padding mask — models/cogvideox.py)
-        is_cog = type(pipe).__name__.startswith("CogVideoX")
-        embeds, masks = _cached_embeds(args.embedding_cache, prompts)
-        if "negative_prompt" in call:
-            n_embeds, n_masks = _cached_embeds(
-                args.embedding_cache, call.pop("negative_prompt")
+        from tdm_tpu.data.prompts import EmbeddingCache
+
+        cache = EmbeddingCache.load(args.embedding_cache)
+        fam = getattr(pipe, "family", "")
+
+        def pack(e, m, p):
+            """Family cond pytree from cache rows. CogVideoX conditions on
+            the embedding sequence alone (no key-padding mask —
+            models/cogvideox.py); SD3 takes (context, pooled) and needs a
+            pooled-carrying cache (build_cache --pipeline <sd3-dir>)."""
+            if fam == "cogvideox":
+                return e
+            if fam == "sd3":
+                if p is None:
+                    raise SystemExit(
+                        "SD3 conditioning needs the pooled CLIP vector — "
+                        "this cache has none; rebuild it with "
+                        "`build_cache --pipeline <sd3 checkpoint>`"
+                    )
+                return (e, p)
+            return (e, m)
+
+        embeds, masks, pooled = _cached_embeds(
+            cache, args.embedding_cache, prompts
+        )
+        negative = None
+        if neg_prompts is not None:
+            negative = pack(
+                *_cached_embeds(cache, args.embedding_cache, neg_prompts)
             )
-            call["negative_embeds"] = (
-                n_embeds if is_cog else (n_embeds, n_masks)
-            )
-        pe = embeds if is_cog else (embeds, masks)
-        out = pipe(prompt_embeds=pe, **call)
+        elif args.guidance_scale != 1.0 and cache.uncond_embed is not None:
+            # CFG with no explicit negative: the cache's empty-prompt
+            # embedding (what the reference precomputes, src/main.py:416-431)
+            ue = np.broadcast_to(
+                cache.uncond_embed[None], embeds.shape
+            ).astype(np.float32)
+            um = np.broadcast_to(
+                cache.uncond_mask[None], masks.shape
+            ).astype(np.int32)
+            up = None
+            if pooled is not None:
+                up = (
+                    np.broadcast_to(
+                        cache.uncond_pooled[None], pooled.shape
+                    ).astype(np.float32)
+                    if cache.uncond_pooled is not None
+                    else np.zeros_like(pooled)
+                )
+            negative = pack(ue, um, up)
+        if negative is not None:
+            if "negative_embeds" not in accepted:
+                raise SystemExit(
+                    f"{type(pipe).__name__} does not take negative embeds"
+                )
+            call["negative_embeds"] = negative
+        out = pipe(prompt_embeds=pack(embeds, masks, pooled), **call)
     else:
         raise SystemExit(
             "this pipeline has no text encoders attached — pass "

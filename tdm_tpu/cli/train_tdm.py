@@ -319,43 +319,51 @@ def main(argv: Optional[list[str]] = None) -> None:
     # inside the step (all draws are batch-shaped from this one key).
     rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
     micro_step = 0
+    uncond = None  # built once: bit-identical every step (constant shapes)
+
+    def to_global(cond_local):
+        """cond pytree of HOST-LOCAL rows → global mesh-sharded arrays.
+        cond_of runs on local data BEFORE this (its eager jnp math — e.g.
+        the SD3 pooled fold — cannot run on non-fully-addressable global
+        arrays under multi-host)."""
+        return jax.tree.map(
+            lambda a: pmesh.put_batch(np.asarray(a), mesh), cond_local
+        )
+
     while global_step < n_total_steps:
         text_np, mask_np, pooled_np = get_batch()  # [local_batch, ...] rows
         text_np = np.asarray(text_np, np.float32)
         mask_np = np.asarray(mask_np, np.int32)
-        cond = bundle.cond_of(
-            pmesh.put_batch(text_np, mesh),
-            pmesh.put_batch(mask_np, mesh),
-            None if pooled_np is None else pmesh.put_batch(
-                np.asarray(pooled_np, np.float32), mesh
-            ),
+        pooled_np = (
+            None if pooled_np is None else np.asarray(pooled_np, np.float32)
         )
-        # CFG null branch: the precomputed empty-prompt T5 embedding when
-        # the cache carries it (src/main.py:416-431); zeros in smoke mode
-        if uncond_pair is not None:
-            u_text = np.broadcast_to(
-                np.asarray(uncond_pair[0], np.float32)[None], text_np.shape
-            )
-            u_mask = np.broadcast_to(
-                np.asarray(uncond_pair[1], np.int32)[None], mask_np.shape
-            )
-        else:
-            u_text, u_mask = np.zeros_like(text_np), mask_np
-        if uncond_pooled is not None:
-            u_pooled = np.broadcast_to(
-                uncond_pooled[None], (text_np.shape[0], *uncond_pooled.shape)
-            )
-        elif pooled_np is not None:
-            u_pooled = np.zeros_like(np.asarray(pooled_np, np.float32))
-        else:
-            u_pooled = None
-        uncond = bundle.cond_of(
-            pmesh.put_batch(np.ascontiguousarray(u_text), mesh),
-            pmesh.put_batch(np.ascontiguousarray(u_mask), mesh),
-            None if u_pooled is None else pmesh.put_batch(
-                np.ascontiguousarray(u_pooled), mesh
-            ),
-        )
+        cond = to_global(bundle.cond_of(text_np, mask_np, pooled_np))
+        if uncond is None:
+            # CFG null branch: the precomputed empty-prompt T5 embedding
+            # when the cache carries it (src/main.py:416-431); zeros in
+            # smoke mode. Hoisted out of the loop — rebuilding + re-putting
+            # this constant every micro-step was pure host/transfer waste.
+            if uncond_pair is not None:
+                u_text = np.ascontiguousarray(np.broadcast_to(
+                    np.asarray(uncond_pair[0], np.float32)[None],
+                    text_np.shape,
+                ))
+                u_mask = np.ascontiguousarray(np.broadcast_to(
+                    np.asarray(uncond_pair[1], np.int32)[None],
+                    mask_np.shape,
+                ))
+            else:
+                u_text, u_mask = np.zeros_like(text_np), mask_np
+            if uncond_pooled is not None:
+                u_pooled = np.ascontiguousarray(np.broadcast_to(
+                    uncond_pooled[None],
+                    (text_np.shape[0], *uncond_pooled.shape),
+                ))
+            elif pooled_np is not None:
+                u_pooled = np.zeros_like(pooled_np)
+            else:
+                u_pooled = None
+            uncond = to_global(bundle.cond_of(u_text, u_mask, u_pooled))
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
         # tree is a jit parameter, not baked-in HLO constants

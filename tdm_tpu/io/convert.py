@@ -441,6 +441,16 @@ def sd3_params(sd: dict[str, np.ndarray], *, scan_layers: bool = True) -> dict:
                 f"sd3: dual-attention blocks {dual} are not a contiguous "
                 "prefix — convert with scan_layers=False"
             )
+        if len(dual) >= n:
+            # the final block is context_pre_only and the model never runs
+            # dual attention there — converting would silently drop its
+            # attn2 weights (Flax apply ignores unused params)
+            raise ValueError(
+                f"sd3: checkpoint carries dual attention on the FINAL "
+                f"block ({n - 1}), which the MMDiT's context_pre_only "
+                "output block does not support — no shipped SD3.5 config "
+                "does this; refusing to convert rather than drop weights"
+            )
         d = min(len(dual), n - 1)
         tree = stack_layers(tree, count=d, out_name="blocks_dual")
         tree = stack_layers(tree, count=n - 1 - d, start=d)

@@ -219,3 +219,29 @@ def test_generate_cogvideox_gif(tmp_path):
 
     gif = Image.open(out)
     assert gif.is_animated and gif.n_frames == num_frames
+
+
+def test_generate_cfg_without_negative_uses_cache_uncond(
+    pixart_pipe_dir, cache_path, tmp_path
+):
+    """guidance_scale > 1 with NO --negative_prompt must fall back to the
+    cache's empty-prompt uncond embedding (the reference precomputes it,
+    src/main.py:416-431) instead of crashing on encode_prompt(None) —
+    and CFG must actually change the output vs guidance 1."""
+    d, _ = pixart_pipe_dir
+
+    def run(out, cfg_scale):
+        generate.main([
+            "--model", d, "--prompt", PROMPTS[0],
+            "--guidance_scale", cfg_scale,
+            "--embedding_cache", cache_path,
+            "--num_inference_steps", "2", "--seed", "42",
+            "--height", "128", "--width", "128",
+            "--output", out, "--output_type", "latent",
+        ])
+        return np.load(out + ".npy")
+
+    base = run(str(tmp_path / "g1"), "1.0")
+    cfg = run(str(tmp_path / "g45"), "4.5")
+    assert base.shape == cfg.shape
+    assert not np.allclose(base, cfg), "CFG had no effect"

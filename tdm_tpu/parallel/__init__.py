@@ -1,3 +1,4 @@
-"""Device mesh + sharding rules (DP + FSDP over ('data','fsdp'))."""
+"""Device mesh + sharding rules: DP + FSDP over ('data','fsdp'), and
+megatron-style tensor parallelism over ('data','tp') (parallel/tp.py)."""
 
-from tdm_tpu.parallel import mesh  # noqa: F401
+from tdm_tpu.parallel import mesh, tp  # noqa: F401

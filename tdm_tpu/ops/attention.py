@@ -21,6 +21,16 @@ Gradients: both impls are differentiable. The pallas path has a full custom
 VJP with Dao-style blockwise BACKWARD kernels (dq and dk/dv passes driven by
 the forward's saved logsumexp) — no S×S materialization in either direction,
 which is what makes video-length (S≈18k) TRAINING fit in HBM.
+
+Sharding: pallas_call has no SPMD partitioning rule, so a mesh-sharded
+batch/head axis would make jit fail at lowering (the reference never hits
+this — its xformers kernels live under DDP where each rank sees local
+tensors). Both flash directions are therefore registered with
+`jax.experimental.custom_partitioning`: batch and head dims partition
+freely (each (b,h) pair is an independent grid row), sequence and head_dim
+stay replicated. This is what lets the SAME kernel run under the FSDP
+train step, data-parallel serving, and tensor-parallel serving meshes
+without shard_map plumbing at every call site.
 """
 
 from __future__ import annotations
@@ -31,7 +41,13 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import (
+    ArrayMapping,
+    SdyShardingRule,
+    custom_partitioning,
+)
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _NEG_INF = -1e30  # large-negative instead of -inf keeps fp32 arithmetic NaN-free
 
@@ -232,14 +248,33 @@ def _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret):
 def _flash_fwd_res(
     q, k, v, bias, scale, block_q, block_k, interpret, with_lse=True
 ):
-    b, h, sq, d = q.shape
+    # pre-scale OUTSIDE the partitioned core so the residual (the backward's
+    # bit-identical-logits source) is the exact array the kernel consumed
+    q_scaled = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if with_lse:
+        out, lse = _fwd_partitioned(
+            q_scaled, k, v, bias, block_q, block_k, interpret, True
+        )
+    else:
+        out = _fwd_partitioned(
+            q_scaled, k, v, bias, block_q, block_k, interpret, False
+        )
+        lse = None
+    return out, (q_scaled, k, v, bias, out, lse)
+
+
+def _fwd_core(qs, k, v, bias, block_q, block_k, interpret, with_lse):
+    """Flash forward on (already pre-scaled) global-logical arrays; padding
+    and slicing stay INSIDE so the custom_partitioning boundary sees clean
+    [b,h,sq,d] shapes on both sides. Runs per shard under a mesh (b and h
+    partition freely; sq/sk/d replicated — see _fwd_sharding_rule)."""
+    b, h, sq, d = qs.shape
     sk = k.shape[2]
     block_q = _pick_block(sq, block_q)
     block_k = _pick_block(sk, block_k)
 
     d_pad = max(128, ((d + 127) // 128) * 128)
-    q_scaled = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    qp = _pad_to(_pad_to(q_scaled, block_q, 2), d_pad, 3)
+    qp = _pad_to(_pad_to(qs, block_q, 2), d_pad, 3)
     kp = _pad_to(_pad_to(k, block_k, 2), d_pad, 3)
     vp = _pad_to(_pad_to(v, block_k, 2), d_pad, 3)
     bias_p = _pad_bias(bias, block_k)
@@ -257,10 +292,13 @@ def _flash_fwd_res(
         lambda bh, qi, kj: (bh // h, bh % h, qi, 0),
         memory_space=pltpu.VMEM,
     )
+    # q arrives pre-scaled; `scale` is unused in the forward kernels' math
+    # (retained in their signature for the backward's partial-application
+    # style), so the core doesn't need the value at all
     kernel = (
-        functools.partial(_flash_fwd_kernel, scale=scale)
+        functools.partial(_flash_fwd_kernel, scale=1.0)
         if with_lse
-        else functools.partial(_flash_fwd_kernel_nolse, scale=scale)
+        else functools.partial(_flash_fwd_kernel_nolse, scale=1.0)
     )
     out = pl.pallas_call(
         kernel,
@@ -292,11 +330,11 @@ def _flash_fwd_res(
         out_specs=[out_spec, lse_spec] if with_lse else out_spec,
         out_shape=(
             [
-                jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype),
                 jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
             ]
             if with_lse
-            else jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype)
+            else jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
@@ -305,17 +343,78 @@ def _flash_fwd_res(
         ],
         interpret=interpret,
     )(bias_p[:, None, :], qp, kp, vp)
-    if with_lse:
-        out, lse = out
-    else:
-        lse = None
+    if not with_lse:
+        return out[:, :, :sq, :d]
+    out, lse = out
+    # slice BOTH outputs back to logical rows: the residual stays compact in
+    # HBM and the partitioning boundary sees canonical shapes (the backward
+    # re-pads lse rows with the +1e30 sentinel so padded q rows still
+    # contribute zero to dk/dv)
+    return out[:, :, :sq, :d], lse[:, :, :sq, :]
 
-    # residual saves the PRE-SCALED q (not the original): the backward
-    # kernels then recompute logits bit-identical to the forward's, so
-    # p = exp(s − lse) renormalizes exactly against the saved lse (the
-    # bf16 rounding of q·scale would otherwise make fwd/bwd softmax
-    # weights systematically differ)
-    return out[:, :, :sq, :d], (q_scaled, k, v, bias, out, lse)
+
+def _bh_sharding(mesh, sharding, rank: int):
+    """NamedSharding keeping the operand's batch/head axes, everything else
+    replicated — the only partitioning the kernels support."""
+    spec = tuple(getattr(sharding, "spec", None) or ())
+    spec = spec + (None,) * (rank - len(spec))
+    keep = spec[: min(2, rank)] + (None,) * (rank - 2)
+    return NamedSharding(mesh, P(*keep))
+
+
+def _fwd_infer_sharding(
+    block_q, block_k, interpret, with_lse, mesh, arg_shapes, result_shape
+):
+    out = _bh_sharding(mesh, arg_shapes[0].sharding, 4)
+    return (out, out) if with_lse else out
+
+
+def _fwd_partition(
+    block_q, block_k, interpret, with_lse, mesh, arg_shapes, result_shape
+):
+    qsh = _bh_sharding(mesh, arg_shapes[0].sharding, 4)
+    bias_sh = NamedSharding(mesh, P(qsh.spec[0] if qsh.spec else None))
+    arg_shardings = (qsh, qsh, qsh, bias_sh)
+    out_shardings = (qsh, qsh) if with_lse else qsh
+    impl = functools.partial(
+        _fwd_core,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+        with_lse=with_lse,
+    )
+    return mesh, impl, out_shardings, arg_shardings
+
+
+def _fwd_sharding_rule(
+    block_q, block_k, interpret, with_lse, mesh, value_types, result_types
+):
+    operands = (
+        ArrayMapping("b", "h", "sq", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+        ArrayMapping("b", "sk"),
+    )
+    # need_replication factors must be listed in introduction order
+    # (Shardy verifier: "indices of special factors must be sorted")
+    if with_lse:
+        results = (
+            ArrayMapping("b", "h", "sq", "d"),
+            ArrayMapping("b", "h", "sq", "e"),
+        )
+        need_rep = ("sq", "d", "sk", "e")
+    else:
+        results = (ArrayMapping("b", "h", "sq", "d"),)
+        need_rep = ("sq", "d", "sk")
+    return SdyShardingRule(operands, results, need_replication_factors=need_rep)
+
+
+_fwd_partitioned = custom_partitioning(_fwd_core, static_argnums=(4, 5, 6, 7))
+_fwd_partitioned.def_partition(
+    infer_sharding_from_operands=_fwd_infer_sharding,
+    partition=_fwd_partition,
+    sharding_rule=_fwd_sharding_rule,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -405,11 +504,22 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
     # q here is the forward's PRE-SCALED q (see _flash_fwd_res residual
     # note); the kernels fold that into the logits and dk math, while dq
     # still multiplies by `scale` to produce the grad w.r.t. the original q
-    q, k, v, bias, out_p, lse = residuals
+    qs, k, v, bias, out, lse = residuals
+    dq, dk, dv = _bwd_partitioned(
+        qs, k, v, bias, out, lse, g, scale, block_q, block_k, interpret
+    )
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+def _bwd_core(qs, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
+    """Flash backward on global-logical arrays (qs pre-scaled, out/lse the
+    forward's SLICED outputs); padding is internal so the partitioning
+    boundary sees [b,h,s,d] shapes. b/h partition freely, rest replicated."""
+    q = qs
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    # must match the forward's choices: lse/out residuals are padded to the
-    # forward's sq_p
+    # _pick_block reruns on the same global (replicated) s — identical
+    # choices to the forward's
     block_q = _pick_block(sq, block_q)
     block_k = _pick_block(sk, block_k)
     d_pad = max(128, ((d + 127) // 128) * 128)
@@ -421,9 +531,18 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
     bias_p = _pad_bias(bias, block_k)[:, None, :]
     sq_p, sk_p = qp.shape[2], kp.shape[2]
 
+    # re-pad lse rows with the +1e30 sentinel: padded q rows then have
+    # p = exp(s − 1e30) = 0 and leak nothing into dk/dv
+    pad_rows = (-sq) % block_q
+    if pad_rows:
+        lse = jnp.pad(
+            lse, ((0, 0), (0, 0), (0, pad_rows), (0, 0)),
+            constant_values=1e30,
+        )
+
     # Δ = rowsum(dO ∘ O) — elementwise, XLA fuses it; broadcast to width 128
     delta = jnp.sum(
-        g.astype(jnp.float32) * out_p[:, :, :sq, :d].astype(jnp.float32),
+        g.astype(jnp.float32) * out.astype(jnp.float32),
         axis=-1, keepdims=True,
     )
     delta = jnp.broadcast_to(delta, (b, h, sq, 128))
@@ -502,8 +621,62 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
         dq[:, :, :sq, :d],
         dk[:, :, :sk, :d],
         dv[:, :, :sk, :d],
-        jnp.zeros_like(bias),
     )
+
+
+def _bwd_infer_sharding(
+    scale, block_q, block_k, interpret, mesh, arg_shapes, result_shape
+):
+    qsh = _bh_sharding(mesh, arg_shapes[0].sharding, 4)
+    return (qsh, qsh, qsh)
+
+
+def _bwd_partition(
+    scale, block_q, block_k, interpret, mesh, arg_shapes, result_shape
+):
+    qsh = _bh_sharding(mesh, arg_shapes[0].sharding, 4)
+    bias_sh = NamedSharding(mesh, P(qsh.spec[0] if qsh.spec else None))
+    # operands: qs, k, v, bias, out, lse, g
+    arg_shardings = (qsh, qsh, qsh, bias_sh, qsh, qsh, qsh)
+    out_shardings = (qsh, qsh, qsh)
+    impl = functools.partial(
+        _bwd_core,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+    return mesh, impl, out_shardings, arg_shardings
+
+
+def _bwd_sharding_rule(
+    scale, block_q, block_k, interpret, mesh, value_types, result_types
+):
+    operands = (
+        ArrayMapping("b", "h", "sq", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+        ArrayMapping("b", "sk"),
+        ArrayMapping("b", "h", "sq", "d"),
+        ArrayMapping("b", "h", "sq", "e"),
+        ArrayMapping("b", "h", "sq", "d"),
+    )
+    results = (
+        ArrayMapping("b", "h", "sq", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+        ArrayMapping("b", "h", "sk", "d"),
+    )
+    return SdyShardingRule(
+        operands, results, need_replication_factors=("sq", "d", "sk", "e")
+    )
+
+
+_bwd_partitioned = custom_partitioning(_bwd_core, static_argnums=(7, 8, 9, 10))
+_bwd_partitioned.def_partition(
+    infer_sharding_from_operands=_bwd_infer_sharding,
+    partition=_bwd_partition,
+    sharding_rule=_bwd_sharding_rule,
+)
 
 
 _flash_attention.defvjp(_flash_fwd_res, _flash_bwd)

@@ -60,6 +60,12 @@ class DiffusionPipelineBase:
         # this is its serving-side equivalent. Set `pipe.data_parallel_mesh
         # = jax.make_mesh((n,), ('data',))`; batch must divide n.
         self.data_parallel_mesh: Optional[Any] = None
+        # tensor-parallel serving: a ('data','tp') mesh (parallel/tp.py's
+        # make_tp_mesh). Params are megatron-sharded over 'tp' (attention/FF
+        # projections column/row-parallel), batch over 'data' — scales
+        # LATENCY even at batch 1, which DP cannot. Subsumes DP (use the
+        # mesh's 'data' axis); mutually exclusive with data_parallel_mesh.
+        self.tensor_parallel_mesh: Optional[Any] = None
 
     # ---- LoRA verbs (README.md:45-50,70,96,119) ----
 
@@ -88,8 +94,13 @@ class DiffusionPipelineBase:
     # ---- jit cache ----
 
     def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:
-        # int8/bf16 and dp/single-chip variants compile separately
-        key = (*key, self.quant, self.data_parallel_mesh is not None)
+        # int8/bf16 and dp/tp/single-chip variants compile separately
+        key = (
+            *key,
+            self.quant,
+            self.data_parallel_mesh is not None,
+            self.tensor_parallel_mesh is not None,
+        )
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = self._jit_cache[key] = self._with_dp(
@@ -104,23 +115,43 @@ class DiffusionPipelineBase:
         alone, so every family's sampler parallelizes without family code.
         Samplers follow the `fn(params, *data)` convention (see callers).
 
+        Tensor-parallel serving rides the same wrapper: with
+        `tensor_parallel_mesh` set, params are placed by the megatron rule
+        (parallel/tp.py) instead of replicated, and the batch shards over
+        the mesh's 'data' axis.
+
         The CURRENT mesh is read at every call (not captured at build):
-        reassigning `pipe.data_parallel_mesh` takes effect immediately —
-        jit reshards/recompiles per the new input shardings."""
-        if self.data_parallel_mesh is None:
+        reassigning `pipe.data_parallel_mesh` / `pipe.tensor_parallel_mesh`
+        takes effect immediately — jit reshards/recompiles per the new
+        input shardings."""
+        if self.data_parallel_mesh is None and self.tensor_parallel_mesh is None:
             return fn
+        if self.data_parallel_mesh is not None and self.tensor_parallel_mesh is not None:
+            raise ValueError(
+                "data_parallel_mesh and tensor_parallel_mesh are mutually "
+                "exclusive — a ('data','tp') tensor_parallel_mesh already "
+                "carries the batch axis"
+            )
+        if self.tensor_parallel_mesh is not None and self.quant:
+            raise ValueError(
+                "quant='int8' with tensor_parallel_mesh is not supported: "
+                "the dynamic per-channel scales have not been validated "
+                "under tp-sharded kernels — pick one"
+            )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         pipe = self
 
         def wrapped(params, *data):
-            mesh = pipe.data_parallel_mesh
-            if mesh is None:  # DP switched off after this entry was cached
+            mesh = pipe.tensor_parallel_mesh or pipe.data_parallel_mesh
+            if mesh is None:  # parallelism switched off after caching
                 return fn(params, *data)
-            n = mesh.shape["data"]
+            n = mesh.shape["data"] if "data" in mesh.axis_names else 1
 
             def shard_data(x):
-                if not hasattr(x, "ndim") or x.ndim == 0:
+                if not hasattr(x, "ndim") or x.ndim == 0 or n == 1:
+                    if hasattr(x, "ndim"):
+                        return jax.device_put(x, NamedSharding(mesh, P()))
                     return x
                 if x.shape[0] % n != 0:
                     raise ValueError(
@@ -135,7 +166,14 @@ class DiffusionPipelineBase:
                     return x
                 return jax.device_put(x, NamedSharding(mesh, P()))
 
-            params = jax.tree.map(replicate, params)
+            if pipe.tensor_parallel_mesh is not None:
+                from tdm_tpu.parallel import tp as tp_lib
+
+                params = jax.device_put(
+                    params, tp_lib.tp_shardings(params, mesh)
+                )
+            else:
+                params = jax.tree.map(replicate, params)
             data = jax.tree.map(shard_data, data)
             return fn(params, *data)
 

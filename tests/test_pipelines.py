@@ -300,3 +300,43 @@ def test_data_parallel_mesh_matches_single_device(pixart_pipe):
         assert dp4.latents.sharding.mesh.devices.size == 4
     finally:
         pixart_pipe.data_parallel_mesh = None
+
+
+def test_tensor_parallel_mesh_matches_single_device(pixart_pipe):
+    """`pipe.tensor_parallel_mesh`: attention/FF projections megatron-
+    sharded over 'tp' (parallel/tp.py), batch over 'data' — the latency-
+    scaling extension the reference lacks (DDP+ZeRO-3 only,
+    src/main.py:141-160). Latents must match the single-device run."""
+    import jax
+    from jax.sharding import Mesh
+
+    prompts = ["a cat", "a dog"]
+    kw = dict(
+        num_inference_steps=4, height=128, width=128, seed=3,
+        output_type="latent",
+    )
+    ref = pixart_pipe(prompts, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "tp"))
+    pixart_pipe.tensor_parallel_mesh = mesh
+    try:
+        out = pixart_pipe(prompts, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out.latents, np.float32),
+            np.asarray(ref.latents, np.float32),
+            rtol=0.05, atol=0.1,  # bf16 1-ULP envelope, as the DP test
+        )
+        # dp and tp knobs are mutually exclusive (tp mesh carries 'data')
+        pixart_pipe.data_parallel_mesh = Mesh(
+            np.asarray(jax.devices()[:4]).reshape(4), ("data",)
+        )
+        with pytest.raises(ValueError, match="mutually"):
+            pixart_pipe(prompts, **kw)
+        pixart_pipe.data_parallel_mesh = None
+        # int8 dynamic-quant under tp is unvalidated → loud error
+        pixart_pipe.quant = "int8"
+        with pytest.raises(ValueError, match="int8"):
+            pixart_pipe(prompts, **kw)
+    finally:
+        pixart_pipe.quant = None
+        pixart_pipe.data_parallel_mesh = None
+        pixart_pipe.tensor_parallel_mesh = None

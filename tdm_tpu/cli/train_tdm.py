@@ -31,6 +31,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.data import prompts as data_prompts, tokenizer as tok_lib
     from tdm_tpu.models import vae as vae_lib
     from tdm_tpu.parallel import mesh as pmesh
+    from tdm_tpu.parallel import tp as ptp
     from tdm_tpu.train import families, optim as topt, tdm, validation
     from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
 
@@ -61,9 +62,19 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
         devices = devices[: cfg.max_devices]
     n_dev = len(devices)
-    if n_dev % max(cfg.fsdp, 1) != 0:
-        raise ValueError(f"--fsdp {cfg.fsdp} does not divide {n_dev} devices")
-    mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp, devices=devices)
+    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1)
+    if n_dev % n_model != 0:
+        raise ValueError(
+            f"--fsdp {cfg.fsdp} x --tp {cfg.tp} does not divide {n_dev} devices"
+        )
+    if cfg.tp > 1:
+        # ('data','fsdp','tp'): megatron tp innermost (per-layer psums ride
+        # the tightest ICI ring), ZeRO-3 over 'fsdp', batch over 'data'
+        mesh = ptp.make_train_mesh(
+            n_dev // n_model, max(cfg.fsdp, 1), cfg.tp, devices=devices
+        )
+    else:
+        mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp, devices=devices)
     # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
     # the jitted step sees the global batch sharded over 'data'. Each HOST
     # loads only its local rows (pmesh.put_batch assembles the global
@@ -244,7 +255,12 @@ def main(argv: Optional[list[str]] = None) -> None:
     state = tdm.init_state(
         student_init, teacher, tx_s, tx_c, use_ema=cfg.use_ema
     )
-    if cfg.fsdp > 1:
+    if cfg.tp > 1:
+        # combined rule: attention/FF kernels megatron-sharded over 'tp'
+        # (ZeRO-3 layered on their remaining dim), the rest shape-based fsdp
+        state = jax.device_put(state, ptp.tp_fsdp_shardings(state, mesh))
+        teacher = jax.device_put(teacher, ptp.tp_fsdp_shardings(teacher, mesh))
+    elif cfg.fsdp > 1:
         shardings = jax.tree.map(
             lambda x: __import__("jax").sharding.NamedSharding(
                 mesh, pmesh.fsdp_spec(jnp.shape(x), cfg.fsdp)
@@ -390,7 +406,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             # collective — gating it on process 0 would deadlock); only
             # the file/tracker writes are main-process-only.
             val_params = state.ema if cfg.use_ema else state.student
-            if cfg.fsdp > 1:
+            if cfg.fsdp > 1 or cfg.tp > 1:
                 val_params = jax.device_put(val_params, pmesh.replicated(mesh))
             grids = validation.save_validation_images(
                 eval_denoise_fn, val_params, schedule, val_cond,
@@ -428,7 +444,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
 
     final = state.ema if cfg.use_ema else state.student
-    if cfg.fsdp > 1:
+    if cfg.fsdp > 1 or cfg.tp > 1:
         # gather shards → every host holds the full tree; pull to host so
         # the (main-process-only) merge/SVD below never touches the mesh
         final = jax.tree.map(

@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -107,6 +108,80 @@ def tp_spec(
         return shard_from_right(1)
     # row-parallel bias stays replicated (added once, after the psum)
     return P()
+
+
+def make_train_mesh(
+    n_data: int, n_fsdp: int = 1, n_tp: int = 1, *, devices=None
+) -> Mesh:
+    """('data','fsdp','tp') mesh for tensor-parallel TRAINING on top of the
+    DDP+ZeRO-3 surface. Innermost ('tp') gets ICI-adjacent devices — the
+    per-layer psum is latency-critical; 'fsdp' all-gathers amortize."""
+    if devices is None:
+        devices = np.array(jax.devices())
+    else:
+        devices = np.array(devices)
+    assert n_data * n_fsdp * n_tp == devices.size, (
+        f"mesh {n_data}x{n_fsdp}x{n_tp} != {devices.size} devices"
+    )
+    return Mesh(
+        devices.reshape(n_data, n_fsdp, n_tp), (DATA_AXIS, "fsdp", TP_AXIS)
+    )
+
+
+def tp_fsdp_spec(
+    names: tuple[str, ...],
+    shape: tuple[int, ...],
+    n_tp: int,
+    n_fsdp: int,
+    *,
+    min_size: int = 2**16,
+):
+    """Combined rule for training state: attention/FF projections shard over
+    'tp' by name (megatron), with ZeRO-3 layered on top — the largest
+    remaining divisible dim of a tp-sharded kernel shards over 'fsdp';
+    everything else (norms, embedders, optimizer moments whose blockwise
+    layout breaks the name rule's shape check) falls back to the plain
+    shape-based fsdp rule. Never wrong on mismatched shapes: tp_spec
+    degrades to replicated, fsdp_spec skips small/indivisible leaves."""
+    from tdm_tpu.parallel.mesh import FSDP_AXIS, fsdp_spec
+
+    tspec = tp_spec(names, shape, n_tp)
+    tp_dim = next(
+        (i for i, a in enumerate(tspec) if a == TP_AXIS), None
+    )
+    if tp_dim is None:
+        return fsdp_spec(shape, n_fsdp, min_size)
+    spec = [None] * len(shape)
+    spec[tp_dim] = TP_AXIS
+    if n_fsdp > 1 and int(np.prod(shape)) >= min_size:
+        cands = sorted(
+            (s, i)
+            for i, s in enumerate(shape)
+            if i != tp_dim and s % n_fsdp == 0
+        )
+        if cands:
+            spec[cands[-1][1]] = FSDP_AXIS
+    return P(*spec)
+
+
+def tp_fsdp_shardings(
+    tree: Any, mesh: Mesh, *, min_size: int = 2**16
+) -> Any:
+    """Pytree of NamedShardings for a train-state tree under the combined
+    ('fsdp','tp') rule; axes absent from the mesh degrade to size 1."""
+    shape = dict(mesh.shape)
+    n_tp = shape.get(TP_AXIS, 1)
+    n_fsdp = shape.get("fsdp", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(
+            mesh,
+            tp_fsdp_spec(
+                _path_names(path), jnp.shape(x), n_tp, n_fsdp,
+                min_size=min_size,
+            ),
+        ),
+        tree,
+    )
 
 
 def tp_shardings(params: Any, mesh: Mesh, *, axis: str = TP_AXIS) -> Any:

@@ -97,6 +97,12 @@ class TrainConfig:
     # sharding — the DeepSpeed ZeRO-3 equivalent, src/main.py:141-160;
     # 1 = pure data-parallel, the reference's default topology)
     fsdp: int = 1
+    # TPU extension: devices on the 'tp' mesh axis — megatron-style tensor
+    # parallelism of the denoiser's attention/FF projections during
+    # training (parallel/tp.py; no reference analog — its distributed
+    # story stops at DDP+ZeRO-3). Composes with --fsdp: mesh becomes
+    # ('data','fsdp','tp')
+    tp: int = 1
     # TPU extension: cap the local devices joining the mesh (0 = all).
     # The accelerate `--num_processes` analog (README.md:160) — handy for
     # pinning a debug run to one chip of a pod (or one virtual device in

@@ -15,3 +15,11 @@ python -m tdm_tpu.cli.train_tdm \
 
 RUN_DIR="${OUT}_cfg4.5_steps900"
 echo "--- metrics ---"; cat "$RUN_DIR/logs/metrics.jsonl"
+
+# 3-axis variant: DDP x ZeRO-3 x megatron tensor parallelism in one step
+python -m tdm_tpu.cli.train_tdm \
+  --output_dir "${OUT}_tp" --train_data_dir "" --dataset_name smoke \
+  --train_batch_size 1 --max_train_steps 2 --checkpointing_steps 2 \
+  --learning_rate 1e-4 --seed 0 --fsdp 2 --tp 2
+
+echo "--- tp metrics ---"; cat "${OUT}_tp_cfg4.5_steps900/logs/metrics.jsonl"

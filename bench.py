@@ -142,7 +142,8 @@ def bench_sd3_4nfe(batch: int = 4, iters: int = 5, quant: bool = False) -> dict:
 
 
 def bench_tdm_train_step(
-    batch: int = 4, iters: int = 5, quant_forwards: bool = False
+    batch: int = 4, iters: int = 5, quant_forwards: bool = False,
+    remat_policy: str = "full",
 ) -> dict:
     """Full-size PixArt TDM train step (9-11 denoiser forwards + student
     backward + two optimizer updates, §3.2) on one chip — the 'PixArt
@@ -158,7 +159,9 @@ def bench_tdm_train_step(
     from tdm_tpu.models import pixart
     from tdm_tpu.train import optim as topt, tdm
 
-    cfg = dataclasses.replace(pixart.PixArtConfig(), remat=True)
+    cfg = dataclasses.replace(
+        pixart.PixArtConfig(), remat=True, remat_policy=remat_policy
+    )
     model = pixart.PixArtTransformer2D(cfg=cfg)
     seq = 120
     latent = jnp.zeros((1, 4, 64, 64), jnp.bfloat16)

@@ -53,6 +53,10 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
                    help="output file (single prompt) or directory")
     p.add_argument("--output_type", default=None,
                    choices=(None, "image", "video", "latent"))
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel serving over N local devices "
+                        "(megatron-sharded projections, parallel/tp.py; "
+                        "0 = off). Scales latency even at batch 1")
     p.add_argument("--quant", default=None, choices=(None, "int8"),
                    help="dynamic int8 MXU matmuls for the big Dense layers "
                         "(~1.7x on v5e; ops/quant.py)")
@@ -108,6 +112,22 @@ def main(argv: Optional[list[str]] = None) -> None:
         pipe.set_adapters(["tdm"], [args.lora_scale])
     if args.quant:
         pipe.quant = args.quant
+    if args.tp and args.tp > 1:
+        import jax
+
+        from tdm_tpu.parallel.tp import make_tp_mesh
+
+        n_dev = len(jax.devices())
+        if args.tp > n_dev:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide: only {n_dev} local devices"
+            )
+        # latency mode: the first N devices form a (1, N) ('data','tp')
+        # mesh — batch replicated, projections sharded. For batch
+        # throughput use pipe.data_parallel_mesh via the python API.
+        pipe.tensor_parallel_mesh = make_tp_mesh(
+            1, args.tp, devices=jax.devices()[: args.tp]
+        )
 
     call = dict(
         num_inference_steps=args.num_inference_steps,

@@ -76,6 +76,30 @@ def test_generate_single_png(pixart_pipe_dir, cache_path, tmp_path):
     assert img.size == (32, 32)  # 128px request / 8 latent / ×2 tiny TAESD
 
 
+def test_generate_tp(pixart_pipe_dir, cache_path, tmp_path):
+    """--tp N: tensor-parallel serving through the CLI — the pixel output
+    must match the single-device run (same seed, same sampler)."""
+    d, _ = pixart_pipe_dir
+    ref, out = str(tmp_path / "ref.png"), str(tmp_path / "tp.png")
+    base = [
+        "--model", d, "--prompt", PROMPTS[0],
+        "--embedding_cache", cache_path,
+        "--num_inference_steps", "2", "--seed", "42",
+        "--height", "128", "--width", "128",
+    ]
+    generate.main(base + ["--output", ref])
+    generate.main(base + ["--tp", "2", "--output", out])
+    import numpy as np
+    from PIL import Image
+
+    a = np.asarray(Image.open(ref), np.int16)
+    b = np.asarray(Image.open(out), np.int16)
+    assert np.abs(a - b).max() <= 2  # bf16 1-ULP through the 8-bit encode
+
+    with pytest.raises(SystemExit, match="does not divide"):
+        generate.main(base + ["--tp", "9", "--output", out])
+
+
 def test_generate_batch_to_dir_with_cfg(pixart_pipe_dir, cache_path, tmp_path):
     d, _ = pixart_pipe_dir
     out = str(tmp_path / "grid")

@@ -127,6 +127,13 @@ class CogVideoXPipeline(DiffusionPipelineBase):
                 "mesh via sequence_parallel_mesh (its 'data' axis already "
                 "shards the batch)"
             )
+        if self.sp_mesh is not None and self.tensor_parallel_mesh is not None:
+            raise ValueError(
+                "sequence_parallel_mesh and tensor_parallel_mesh are "
+                "mutually exclusive on one pipeline — the sp path runs the "
+                "denoiser under shard_map, where the GSPMD tp rule cannot "
+                "propagate"
+            )
         key = (tuple(timesteps), f_lat, lat_h, lat_w, use_cfg,
                float(guidance_scale or 1.0))
         fn = self._cached(key, lambda: self._build_sampler(*key))

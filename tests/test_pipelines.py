@@ -252,6 +252,10 @@ def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
     sp_pipe.data_parallel_mesh = mesh
     with pytest.raises(ValueError, match="mutually"):
         sp_pipe(**kw)
+    sp_pipe.data_parallel_mesh = None
+    sp_pipe.tensor_parallel_mesh = mesh
+    with pytest.raises(ValueError, match="mutually"):
+        sp_pipe(**kw)
 
 
 def test_data_parallel_mesh_matches_single_device(pixart_pipe):

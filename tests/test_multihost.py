@@ -35,12 +35,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("fsdp", [1, 2])
-def test_two_process_training(tmp_path, fsdp):
+@pytest.mark.parametrize("fsdp,tp", [(1, 1), (2, 1), (2, 2)])
+def test_two_process_training(tmp_path, fsdp, tp):
     """fsdp=2 additionally shards params/optimizer over the 'fsdp' axis of
     the global mesh (ZeRO-3 equivalent) — exercising cross-process orbax
     checkpointing of sharded state and the collective replicate-gather at
-    final artifact export."""
+    final artifact export. fsdp=2,tp=2 runs the full 3-axis
+    ('data','fsdp','tp') mesh ACROSS process boundaries — megatron psums
+    and ZeRO-3 all-gathers spanning both hosts."""
     out = str(tmp_path / "mh")
     port = _free_port()
     argv = [
@@ -53,6 +55,7 @@ def test_two_process_training(tmp_path, fsdp):
         "--learning_rate", "1e-4",
         "--seed", "0",
         "--fsdp", str(fsdp),
+        "--tp", str(tp),
     ]
     procs = []
     for rank in range(2):

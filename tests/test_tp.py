@@ -166,6 +166,17 @@ def test_train_cli_tp(tmp_path, monkeypatch):
             "--fsdp", "3",
             "--max_train_steps", "1",
         ])
+    # int8 no-grad forwards are unvalidated under tp-sharded kernels —
+    # same restriction the serving side enforces (pipelines/base.py)
+    with pytest.raises(ValueError, match="quant_forwards"):
+        train_tdm.main([
+            "--output_dir", str(tmp_path / "bad2"),
+            "--train_data_dir", "",
+            "--dataset_name", "unused",
+            "--tp", "2",
+            "--quant_forwards",
+            "--max_train_steps", "1",
+        ])
 
 
 def test_tdm_train_step_on_3axis_mesh():

@@ -68,16 +68,9 @@ def main(argv: Optional[list[str]] = None) -> None:
             f"--fsdp {cfg.fsdp} x --tp {cfg.tp} does not divide {n_dev} devices"
         )
     if cfg.tp > 1:
-        if cfg.quant_forwards:
-            # same restriction as serving (pipelines/base.py): dynamic
-            # per-channel int8 scales are unvalidated under tp-sharded
-            # kernels — row-parallel shards would quantize against partial
-            # absmax
-            raise ValueError(
-                "--quant_forwards with --tp is not supported: the dynamic "
-                "int8 scales have not been validated under tensor-parallel "
-                "sharding — pick one"
-            )
+        # --quant_forwards composes: the int8 interceptor traces global
+        # shapes, so absmax scales lower to collectives and match the
+        # unsharded path (test_quant.py::test_int8_under_tp)
         # ('data','fsdp','tp'): megatron tp innermost (per-layer psums ride
         # the tightest ICI ring), ZeRO-3 over 'fsdp', batch over 'data'
         mesh = ptp.make_train_mesh(

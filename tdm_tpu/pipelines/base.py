@@ -132,12 +132,10 @@ class DiffusionPipelineBase:
                 "exclusive — a ('data','tp') tensor_parallel_mesh already "
                 "carries the batch axis"
             )
-        if self.tensor_parallel_mesh is not None and self.quant:
-            raise ValueError(
-                "quant='int8' with tensor_parallel_mesh is not supported: "
-                "the dynamic per-channel scales have not been validated "
-                "under tp-sharded kernels — pick one"
-            )
+        # quant='int8' composes with tp: the interceptor traces GLOBAL
+        # shapes, so the dynamic absmax reductions over sharded dims lower
+        # to all-reduce-max collectives — scales (and results) match the
+        # unsharded int8 path (validated: test_quant.py::test_int8_under_tp)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         pipe = self

@@ -336,10 +336,19 @@ def test_tensor_parallel_mesh_matches_single_device(pixart_pipe):
         with pytest.raises(ValueError, match="mutually"):
             pixart_pipe(prompts, **kw)
         pixart_pipe.data_parallel_mesh = None
-        # int8 dynamic-quant under tp is unvalidated → loud error
+        # int8 dynamic-quant composes with tp: global-shape tracing lowers
+        # the absmax scales to collectives — must MATCH the single-device
+        # int8 run, not merely stay finite
+        pixart_pipe.tensor_parallel_mesh = None
         pixart_pipe.quant = "int8"
-        with pytest.raises(ValueError, match="int8"):
-            pixart_pipe(prompts, **kw)
+        ref_i8 = pixart_pipe(prompts, **kw)
+        pixart_pipe.tensor_parallel_mesh = mesh
+        out_i8 = pixart_pipe(prompts, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_i8.latents, np.float32),
+            np.asarray(ref_i8.latents, np.float32),
+            rtol=0.05, atol=0.1,
+        )
     finally:
         pixart_pipe.quant = None
         pixart_pipe.data_parallel_mesh = None

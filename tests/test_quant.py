@@ -199,3 +199,27 @@ def test_int8_sampler_matches_bf16_within_tolerance(monkeypatch):
     # percent relative drift is the expected envelope; a broken scale or
     # transposed quantization axis lands orders of magnitude above this
     assert rel < 0.15, f"int8 sampler diverged: rel err {rel:.3f}"
+
+
+def test_int8_under_tp():
+    """int8_dot with a tp-sharded weight (column- AND row-parallel) matches
+    the unsharded int8 result: the absmax scale reductions trace on GLOBAL
+    shapes, so GSPMD lowers them to all-reduce-max collectives — same
+    scales, same quantized values, only float-reassociation drift. This is
+    what makes quant='int8' + tensor_parallel_mesh (and --quant_forwards
+    + --tp) composable."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 512))
+    w = jax.random.normal(jax.random.PRNGKey(1), (512, 256))
+    ref = quant.int8_dot(x, w)
+
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    for spec in (P(None, "tp"), P("tp", None)):  # column- / row-parallel
+        ws = jax.device_put(w, NamedSharding(mesh, spec))
+        xs = jax.device_put(x, NamedSharding(mesh, P()))
+        out = jax.jit(quant.int8_dot)(xs, ws)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )

@@ -146,6 +146,9 @@ def test_train_cli_tp(tmp_path, monkeypatch):
         "--checkpointing_steps", "2",
         "--tp", "2",
         "--fsdp", "2",
+        # int8 no-grad forwards compose with tp (global-shape tracing →
+        # collective absmax scales; test_quant.py::test_int8_under_tp)
+        "--quant_forwards",
         "--learning_rate", "1e-4",
         "--seed", "0",
     ])
@@ -164,17 +167,6 @@ def test_train_cli_tp(tmp_path, monkeypatch):
             "--dataset_name", "unused",
             "--tp", "3",
             "--fsdp", "3",
-            "--max_train_steps", "1",
-        ])
-    # int8 no-grad forwards are unvalidated under tp-sharded kernels —
-    # same restriction the serving side enforces (pipelines/base.py)
-    with pytest.raises(ValueError, match="quant_forwards"):
-        train_tdm.main([
-            "--output_dir", str(tmp_path / "bad2"),
-            "--train_data_dir", "",
-            "--dataset_name", "unused",
-            "--tp", "2",
-            "--quant_forwards",
             "--max_train_steps", "1",
         ])
 

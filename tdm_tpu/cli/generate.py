@@ -120,14 +120,26 @@ def main(argv: Optional[list[str]] = None) -> None:
         n_dev = len(jax.devices())
         if args.tp > n_dev:
             raise SystemExit(
-                f"--tp {args.tp} does not divide: only {n_dev} local devices"
+                f"--tp {args.tp}: only {n_dev} local devices"
             )
         # latency mode: the first N devices form a (1, N) ('data','tp')
         # mesh — batch replicated, projections sharded. For batch
         # throughput use pipe.data_parallel_mesh via the python API.
-        pipe.tensor_parallel_mesh = make_tp_mesh(
-            1, args.tp, devices=jax.devices()[: args.tp]
+        mesh = make_tp_mesh(1, args.tp, devices=jax.devices()[: args.tp])
+        from tdm_tpu.parallel.tp import TP_AXIS, tp_shardings
+
+        n_sharded = sum(
+            any(a == TP_AXIS for a in s.spec)
+            for s in jax.tree.leaves(tp_shardings(pipe.params, mesh))
         )
+        if n_sharded == 0:
+            raise SystemExit(
+                f"--tp {args.tp} shards nothing: no attention/FF projection "
+                f"dim is divisible by {args.tp} — the run would be "
+                "replicated with zero speedup. Pick a divisor of the "
+                "model's head and FF dims"
+            )
+        pipe.tensor_parallel_mesh = mesh
 
     call = dict(
         num_inference_steps=args.num_inference_steps,

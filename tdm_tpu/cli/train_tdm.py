@@ -78,11 +78,15 @@ def main(argv: Optional[list[str]] = None) -> None:
         )
     else:
         mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp, devices=devices)
-    # --train_batch_size is PER-DEVICE (reference src/args.py: "per device");
-    # the jitted step sees the global batch sharded over 'data'. Each HOST
-    # loads only its local rows (pmesh.put_batch assembles the global
-    # array), matching accelerate's per-rank DataLoader shards.
-    global_batch = cfg.train_batch_size * n_dev
+    # --train_batch_size is PER-DATA-RANK (reference src/args.py: "per
+    # device" under DDP/ZeRO, where every device is a data rank). Data
+    # ranks = data x fsdp devices (batch_sharding shards rows over both —
+    # ZeRO semantics); 'tp' devices cooperate on the SAME rows, so they
+    # don't multiply the batch. Each HOST loads only its local rows
+    # (pmesh.put_batch assembles the global array), matching accelerate's
+    # per-rank DataLoader shards.
+    n_data_ranks = n_dev // max(cfg.tp, 1)
+    global_batch = cfg.train_batch_size * n_data_ranks
     local_batch = global_batch // jax.process_count()
 
     # ---- model: --model_family (reference demo = pixart only,
@@ -122,7 +126,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     n_total_steps = cfg.max_train_steps or 10001
     lr = topt.make_lr_schedule(
         cfg.lr_scheduler,
-        cfg.effective_lr(n_dev),
+        cfg.effective_lr(n_data_ranks),
         warmup_steps=cfg.lr_warmup_steps,
         total_steps=n_total_steps,
     )
@@ -258,20 +262,13 @@ def main(argv: Optional[list[str]] = None) -> None:
     state = tdm.init_state(
         student_init, teacher, tx_s, tx_c, use_ema=cfg.use_ema
     )
-    if cfg.tp > 1:
-        # combined rule: attention/FF kernels megatron-sharded over 'tp'
-        # (ZeRO-3 layered on their remaining dim), the rest shape-based fsdp
+    if cfg.tp > 1 or cfg.fsdp > 1:
+        # one combined rule for both regimes: attention/FF kernels
+        # megatron-sharded over 'tp' when present (ZeRO-3 layered on their
+        # remaining dim), everything else shape-based fsdp; axes absent
+        # from the mesh degrade to size 1
         state = jax.device_put(state, ptp.tp_fsdp_shardings(state, mesh))
         teacher = jax.device_put(teacher, ptp.tp_fsdp_shardings(teacher, mesh))
-    elif cfg.fsdp > 1:
-        shardings = jax.tree.map(
-            lambda x: __import__("jax").sharding.NamedSharding(
-                mesh, pmesh.fsdp_spec(jnp.shape(x), cfg.fsdp)
-            ),
-            state,
-        )
-        state = jax.device_put(state, shardings)
-        teacher = pmesh.shard_params(teacher, mesh)
     else:
         state = jax.device_put(state, pmesh.replicated(mesh))
         teacher = jax.device_put(teacher, pmesh.replicated(mesh))

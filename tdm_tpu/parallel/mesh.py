@@ -89,8 +89,19 @@ def put_batch(array, mesh: Mesh) -> jax.Array:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over 'data' — the DDP data split."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading-axis (batch) sharding over every data-carrying axis.
+
+    'fsdp' is INCLUDED: ZeRO-3 ranks are data ranks (DeepSpeed semantics,
+    reference src/main.py:141-160) — params shard over 'fsdp' AND each
+    fsdp device processes distinct rows (weights all-gather per layer).
+    Sharding the batch over 'data' alone would make fsdp pairs compute the
+    same rows redundantly — an accidental (and less efficient) tensor
+    parallelism. Model-parallel axes ('tp', 'sp') stay replicated: their
+    whole point is cooperating on the SAME rows."""
+    axes = tuple(
+        a for a in (DATA_AXIS, FSDP_AXIS) if a in mesh.axis_names
+    )
+    return NamedSharding(mesh, P(axes))
 
 
 def fsdp_spec(shape: tuple[int, ...], n_fsdp: int, min_size: int = 2**16) -> P:

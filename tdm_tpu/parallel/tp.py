@@ -186,6 +186,12 @@ def tp_fsdp_shardings(
 
 def tp_shardings(params: Any, mesh: Mesh, *, axis: str = TP_AXIS) -> Any:
     """Pytree of NamedShardings under the tensor-parallel rule."""
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh {dict(mesh.shape)} has no {axis!r} axis — build it with "
+            "parallel.tp.make_tp_mesh (a plain ('data',) mesh belongs on "
+            "pipe.data_parallel_mesh instead)"
+        )
     n_tp = mesh.shape[axis]
     return jax.tree_util.tree_map_with_path(
         lambda path, p: NamedSharding(

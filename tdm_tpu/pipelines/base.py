@@ -52,20 +52,52 @@ class DiffusionPipelineBase:
         # 'int8' → dynamic int8 MXU matmuls for the big Dense layers
         # (ops/quant.py; ~1.7× measured on v5e). Set `pipe.quant = "int8"`.
         self.quant: Optional[str] = None
-        # data-parallel serving: a jax Mesh with a 'data' axis. When set,
-        # calls shard the batch axis of every input over 'data' and
-        # replicate the params; the jitted sampler then compiles SPMD over
-        # the mesh (computation follows sharding — no per-family code).
-        # The reference's only parallelism is DP (src/main.py:321-323);
-        # this is its serving-side equivalent. Set `pipe.data_parallel_mesh
-        # = jax.make_mesh((n,), ('data',))`; batch must divide n.
-        self.data_parallel_mesh: Optional[Any] = None
-        # tensor-parallel serving: a ('data','tp') mesh (parallel/tp.py's
-        # make_tp_mesh). Params are megatron-sharded over 'tp' (attention/FF
-        # projections column/row-parallel), batch over 'data' — scales
-        # LATENCY even at batch 1, which DP cannot. Subsumes DP (use the
-        # mesh's 'data' axis); mutually exclusive with data_parallel_mesh.
-        self.tensor_parallel_mesh: Optional[Any] = None
+        # serving meshes — see the `data_parallel_mesh` /
+        # `tensor_parallel_mesh` properties below
+        self._dp_mesh: Optional[Any] = None
+        self._tp_mesh: Optional[Any] = None
+        self._tp_shardings_cache: Optional[tuple] = None  # (mesh, tree)
+
+    # data-parallel serving: a jax Mesh with a 'data' axis (classic
+    # jax.sharding.Mesh constructor — NOT jax.make_mesh, whose
+    # Explicit-mode axes bypass the flash kernel's partitioning rule).
+    # When set, calls shard the batch axis of every input over 'data' and
+    # replicate the params; the jitted sampler then compiles SPMD over
+    # the mesh (computation follows sharding — no per-family code).
+    # The reference's only parallelism is DP (src/main.py:321-323);
+    # this is its serving-side equivalent. Batch must divide n.
+    @property
+    def data_parallel_mesh(self):
+        return self._dp_mesh
+
+    @data_parallel_mesh.setter
+    def data_parallel_mesh(self, mesh):
+        if mesh is not None and self._tp_mesh is not None:
+            raise ValueError(
+                "data_parallel_mesh and tensor_parallel_mesh are mutually "
+                "exclusive — a ('data','tp') tensor_parallel_mesh already "
+                "carries the batch axis"
+            )
+        self._dp_mesh = mesh
+
+    # tensor-parallel serving: a ('data','tp') mesh (parallel/tp.py's
+    # make_tp_mesh). Params are megatron-sharded over 'tp' (attention/FF
+    # projections column/row-parallel), batch over 'data' — scales
+    # LATENCY even at batch 1, which DP cannot. Subsumes DP (use the
+    # mesh's 'data' axis); mutually exclusive with data_parallel_mesh.
+    @property
+    def tensor_parallel_mesh(self):
+        return self._tp_mesh
+
+    @tensor_parallel_mesh.setter
+    def tensor_parallel_mesh(self, mesh):
+        if mesh is not None and self._dp_mesh is not None:
+            raise ValueError(
+                "data_parallel_mesh and tensor_parallel_mesh are mutually "
+                "exclusive — a ('data','tp') tensor_parallel_mesh already "
+                "carries the batch axis"
+            )
+        self._tp_mesh = mesh
 
     # ---- LoRA verbs (README.md:45-50,70,96,119) ----
 
@@ -126,16 +158,12 @@ class DiffusionPipelineBase:
         input shardings."""
         if self.data_parallel_mesh is None and self.tensor_parallel_mesh is None:
             return fn
-        if self.data_parallel_mesh is not None and self.tensor_parallel_mesh is not None:
-            raise ValueError(
-                "data_parallel_mesh and tensor_parallel_mesh are mutually "
-                "exclusive — a ('data','tp') tensor_parallel_mesh already "
-                "carries the batch axis"
-            )
-        # quant='int8' composes with tp: the interceptor traces GLOBAL
-        # shapes, so the dynamic absmax reductions over sharded dims lower
-        # to all-reduce-max collectives — scales (and results) match the
-        # unsharded int8 path (validated: test_quant.py::test_int8_under_tp)
+        # (dp/tp mutual exclusion is enforced at assignment — see the
+        # property setters.) quant='int8' composes with tp: the interceptor
+        # traces GLOBAL shapes, so the dynamic absmax reductions over
+        # sharded dims lower to all-reduce-max collectives — scales (and
+        # results) match the unsharded int8 path (validated:
+        # test_quant.py::test_int8_under_tp)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         pipe = self
@@ -167,9 +195,18 @@ class DiffusionPipelineBase:
             if pipe.tensor_parallel_mesh is not None:
                 from tdm_tpu.parallel import tp as tp_lib
 
-                params = jax.device_put(
-                    params, tp_lib.tp_shardings(params, mesh)
-                )
+                # the shardings pytree is pure metadata derived from
+                # (mesh, tree structure) — cache it so the latency-oriented
+                # tp path doesn't rebuild hundreds of NamedShardings per
+                # call (device_put on already-placed arrays is a no-op)
+                tdef = jax.tree.structure(params)
+                cache = pipe._tp_shardings_cache
+                if cache is not None and cache[0] is mesh and cache[1] == tdef:
+                    shardings = cache[2]
+                else:
+                    shardings = tp_lib.tp_shardings(params, mesh)
+                    pipe._tp_shardings_cache = (mesh, tdef, shardings)
+                params = jax.device_put(params, shardings)
             else:
                 params = jax.tree.map(replicate, params)
             data = jax.tree.map(shard_data, data)

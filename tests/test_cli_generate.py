@@ -96,8 +96,12 @@ def test_generate_tp(pixart_pipe_dir, cache_path, tmp_path):
     b = np.asarray(Image.open(out), np.int16)
     assert np.abs(a - b).max() <= 2  # bf16 1-ULP through the 8-bit encode
 
-    with pytest.raises(SystemExit, match="does not divide"):
+    with pytest.raises(SystemExit, match="local devices"):
         generate.main(base + ["--tp", "9", "--output", out])
+    # a tp degree that divides no projection dim would silently replicate
+    # everything — fail loudly instead (tiny model: hidden 32, ff 128)
+    with pytest.raises(SystemExit, match="shards nothing"):
+        generate.main(base + ["--tp", "3", "--output", out])
 
 
 def test_generate_batch_to_dir_with_cfg(pixart_pipe_dir, cache_path, tmp_path):

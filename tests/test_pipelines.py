@@ -329,13 +329,12 @@ def test_tensor_parallel_mesh_matches_single_device(pixart_pipe):
             np.asarray(ref.latents, np.float32),
             rtol=0.05, atol=0.1,  # bf16 1-ULP envelope, as the DP test
         )
-        # dp and tp knobs are mutually exclusive (tp mesh carries 'data')
-        pixart_pipe.data_parallel_mesh = Mesh(
-            np.asarray(jax.devices()[:4]).reshape(4), ("data",)
-        )
+        # dp and tp knobs are mutually exclusive (tp mesh carries 'data');
+        # the conflict surfaces AT ASSIGNMENT, not one call later
         with pytest.raises(ValueError, match="mutually"):
-            pixart_pipe(prompts, **kw)
-        pixart_pipe.data_parallel_mesh = None
+            pixart_pipe.data_parallel_mesh = Mesh(
+                np.asarray(jax.devices()[:4]).reshape(4), ("data",)
+            )
         # int8 dynamic-quant composes with tp: global-shape tracing lowers
         # the absmax scales to collectives — must MATCH the single-device
         # int8 run, not merely stay finite

@@ -372,7 +372,13 @@ def sequence_parallel_apply(model: CogVideoXTransformer3D, mesh, *, data_axis=No
 
     F must divide by the sp axis size. The only cross-shard communication
     is the per-block ring attention (lax.ppermute over ICI); patchify, all
-    norms, FF, and unpatchify are token-local."""
+    norms, FF, and unpatchify are token-local.
+
+    COMPOSES with tensor parallelism: any mesh axis beyond (`data_axis`,
+    sp) — e.g. a 'tp' axis — is left AUTOMATIC (partial-auto shard_map),
+    so params placed with the megatron rule (parallel/tp.py tp_shardings
+    over this mesh) get their projections GSPMD-sharded inside each
+    sequence shard. Exactness vs monolithic: test_cogvideox_sp.py."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -386,6 +392,7 @@ def sequence_parallel_apply(model: CogVideoXTransformer3D, mesh, *, data_axis=No
     def local(params, latent, t, text):
         return model.apply({"params": params}, latent, t, text)
 
+    manual = {ax} | ({data_axis} if data_axis is not None else set())
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -396,6 +403,7 @@ def sequence_parallel_apply(model: CogVideoXTransformer3D, mesh, *, data_axis=No
             P(data_axis),
         ),
         out_specs=P(data_axis, None, ax, None, None),
+        axis_names=manual,
     )
 
 

@@ -130,14 +130,31 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         if self.sp_mesh is not None and self.tensor_parallel_mesh is not None:
             raise ValueError(
                 "sequence_parallel_mesh and tensor_parallel_mesh are "
-                "mutually exclusive on one pipeline — the sp path runs the "
-                "denoiser under shard_map, where the GSPMD tp rule cannot "
-                "propagate"
+                "mutually exclusive as separate knobs — to COMPOSE them, "
+                "pass ONE ('data','sp','tp') mesh as sequence_parallel_mesh: "
+                "the 'tp' axis stays automatic inside the shard_map and the "
+                "params are megatron-sharded over it"
             )
         key = (tuple(timesteps), f_lat, lat_h, lat_w, use_cfg,
                float(guidance_scale or 1.0))
         fn = self._cached(key, lambda: self._build_sampler(*key))
-        latents = fn(self.params, noise, prompt_embeds, uncond)
+        params = self.params
+        if self.sp_mesh is not None and "tp" in self.sp_mesh.axis_names:
+            # sp+tp composition: 'tp' is an AUTO axis inside the shard_map
+            # (models/cogvideox.sequence_parallel_apply), so megatron-
+            # placing the params shards every projection within each
+            # sequence shard. Cached like the serving-tp path.
+            from tdm_tpu.parallel import tp as tp_lib
+
+            tdef = jax.tree.structure(params)
+            cache = self._tp_shardings_cache
+            if cache is not None and cache[0] is self.sp_mesh and cache[1] == tdef:
+                shardings = cache[2]
+            else:
+                shardings = tp_lib.tp_shardings(params, self.sp_mesh)
+                self._tp_shardings_cache = (self.sp_mesh, tdef, shardings)
+            params = jax.device_put(params, shardings)
+        latents = fn(params, noise, prompt_embeds, uncond)
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)

@@ -93,3 +93,47 @@ def test_sp_with_data_axis_and_gradients():
             np.asarray(vs), np.asarray(vm), atol=2e-4, rtol=2e-4,
             err_msg=jax.tree_util.keystr(key),
         )
+
+
+def test_sp_tp_composition_matches_monolithic():
+    """sp+tp on one ('data','sp','tp') mesh: frames manual-sharded over
+    'sp' (ring attention), projections GSPMD-sharded over the AUTO 'tp'
+    axis via the megatron rule — both at once, exact vs monolithic. The
+    sp/tp pipeline knobs stay mutually exclusive; THIS mesh shape is the
+    supported composition route (pipelines/cogvideox.py __call__)."""
+    import dataclasses
+
+    from tdm_tpu.parallel.tp import TP_AXIS, tp_shardings
+
+    base = dataclasses.replace(
+        cog.CogVideoXConfig.tiny(), sample_frames=4
+    )
+    mono = cog.CogVideoXTransformer3D(cfg=base)
+    spm = cog.CogVideoXTransformer3D(
+        cfg=dataclasses.replace(base, sequence_parallel_axis="sp")
+    )
+    b = 2
+    latent = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, base.in_channels, 4, base.sample_h, base.sample_w),
+    )
+    t = jnp.full((b,), 500.0)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, base.max_text_len, base.text_dim)
+    )
+    params = mono.init(jax.random.PRNGKey(2), latent, t, text)["params"]
+    ref = mono.apply({"params": params}, latent, t, text)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(b, 2, 2), ("data", "sp", "tp")
+    )
+    fn = cog.sequence_parallel_apply(spm, mesh, data_axis="data")
+    shardings = tp_shardings(params, mesh)
+    n_sharded = sum(
+        any(a == TP_AXIS for a in s.spec) for s in jax.tree.leaves(shardings)
+    )
+    assert n_sharded >= 10, f"tp rule sharded only {n_sharded} leaves"
+    out = jax.jit(fn)(jax.device_put(params, shardings), latent, t, text)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )

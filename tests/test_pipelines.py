@@ -230,6 +230,25 @@ def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
 
     sp_cfg = dataclasses.replace(base, sequence_parallel_axis="sp")
     spm = cog.CogVideoXTransformer3D(cfg=sp_cfg)
+
+    # sp+tp composition: ONE ('data','sp','tp') mesh as the sp mesh —
+    # frames manual over 'sp', projections auto-sharded over 'tp'
+    # (pipelines/cogvideox.py places params with the megatron rule)
+    mesh3 = Mesh(
+        np.asarray(jax.devices()).reshape(1, 4, 2), ("data", "sp", "tp")
+    )
+    out3 = CogVideoXPipeline(
+        spm, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh3
+    )(**kw).latents
+    # bf16 sampler: tp repartitions the projections' reductions, so allow
+    # the same bf16 1-ULP envelope as the dp/tp serving tests (observed
+    # max relative drift 0.6% ≈ bf16 eps; the f32 apply-level composition
+    # test in test_cogvideox_sp.py pins exactness at 3e-5)
+    np.testing.assert_allclose(
+        np.asarray(out3, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.1,
+    )
+
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
     out = CogVideoXPipeline(
         spm, params, vae_cfg=vcfg, sequence_parallel_mesh=mesh

@@ -229,3 +229,30 @@ def test_tdm_train_step_on_3axis_mesh():
     assert bool(jnp.isfinite(metrics.loss_critic))
     q = new_state.student["blocks"]["attn1"]["to_q"]["kernel"]
     assert any(a == TP_AXIS for a in q.sharding.spec)
+
+
+def test_tp_forward_parity_unet():
+    """The name-driven rule reaches the SD15 UNet's transformer blocks
+    (to_q/.../ff) while its conv stacks and the 1x1 spatial-transformer
+    proj_in/proj_out (non-ff parents) stay replicated."""
+    from tdm_tpu.models import unet_sd15
+
+    cfg = unet_sd15.UNetConfig.tiny()
+    model = unet_sd15.UNet2DCondition(cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    t = jnp.array([10.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.context_dim))
+    mask = jnp.ones((2, 6), jnp.int32)
+    params = model.init(jax.random.PRNGKey(2), lat, t, ctx, mask)
+    ref = model.apply(params, lat, t, ctx, mask)
+
+    mesh = make_tp_mesh(2, 4)
+    shardings = tp_shardings(params, mesh)
+    n_sharded = sum(
+        any(a == TP_AXIS for a in s.spec) for s in jax.tree.leaves(shardings)
+    )
+    assert n_sharded >= 6, f"tp rule sharded only {n_sharded} UNet leaves"
+    out = jax.jit(model.apply)(
+        jax.device_put(params, shardings), lat, t, ctx, mask
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -268,6 +268,22 @@ class DiffusionPipelineBase:
             return generator
         return jax.random.PRNGKey(0 if seed is None else seed)
 
+    @staticmethod
+    def initial_noise(
+        latents: Optional[Any], rng: jax.Array, shape: tuple
+    ) -> jnp.ndarray:
+        """diffusers' `latents=` escape hatch: caller-provided initial noise
+        (e.g. the serving batcher's per-request noise rows, serve/batcher.py)
+        wins over seed/generator; otherwise sample from `rng`."""
+        if latents is None:
+            return jax.random.normal(rng, shape, jnp.bfloat16)
+        latents = jnp.asarray(latents, jnp.bfloat16)
+        if tuple(latents.shape) != tuple(shape):
+            raise ValueError(
+                f"latents shape {tuple(latents.shape)} != expected {tuple(shape)}"
+            )
+        return latents
+
 
 def to_images(decoded: jnp.ndarray, *, value_range: str = "unit") -> jnp.ndarray:
     """VAE decode output → [B, H, W, 3] (or [B, F, H, W, 3]) float32 in

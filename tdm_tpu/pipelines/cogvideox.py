@@ -91,6 +91,7 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         width: int = 720,
         seed: Optional[int] = None,
         generator: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
         timesteps: Optional[Sequence[int]] = None,
         output_type: str = "video",
     ) -> PipelineOutput:
@@ -105,10 +106,10 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         f_lat = 1 + (num_frames - 1) // c.temporal_factor
         lat_h, lat_w = height // c.spatial_factor, width // c.spatial_factor
         b = prompt_embeds.shape[0]
-        noise = jax.random.normal(
+        noise = self.initial_noise(
+            latents,
             self.rng(seed, generator),
             (b, self.transformer.cfg.in_channels, f_lat, lat_h, lat_w),
-            jnp.bfloat16,
         )
 
         if timesteps is None:

@@ -85,6 +85,7 @@ class PixArtPipeline(DiffusionPipelineBase):
         width: int = 512,
         seed: Optional[int] = None,
         generator: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
         solver: str = "fewstep",
         total_steps: int = 900,
         output_type: str = "image",
@@ -105,8 +106,9 @@ class PixArtPipeline(DiffusionPipelineBase):
 
         b = jax.tree.leaves(cond)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8
-        rng = self.rng(seed, generator)
-        noise = jax.random.normal(rng, (b, 4, lat_h, lat_w), jnp.bfloat16)
+        noise = self.initial_noise(
+            latents, self.rng(seed, generator), (b, 4, lat_h, lat_w)
+        )
 
         key = (solver, num_inference_steps, lat_h, lat_w, use_cfg,
                float(guidance_scale or 1.0), total_steps)

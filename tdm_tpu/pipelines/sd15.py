@@ -76,6 +76,7 @@ class SD15Pipeline(DiffusionPipelineBase):
         width: int = 512,
         seed: Optional[int] = None,
         generator: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
         output_type: str = "image",
     ) -> PipelineOutput:
         if prompt_embeds is None:
@@ -93,8 +94,8 @@ class SD15Pipeline(DiffusionPipelineBase):
 
         b = jax.tree.leaves(prompt_embeds)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8
-        noise = jax.random.normal(
-            self.rng(seed, generator), (b, 4, lat_h, lat_w), jnp.bfloat16
+        noise = self.initial_noise(
+            latents, self.rng(seed, generator), (b, 4, lat_h, lat_w)
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,

@@ -104,6 +104,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         width: int = 1024,
         seed: Optional[int] = None,
         generator: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
         flow_shift: Optional[float] = None,
         output_type: str = "image",
     ) -> PipelineOutput:
@@ -123,10 +124,10 @@ class SD3Pipeline(DiffusionPipelineBase):
         shift = self.flow_shift if flow_shift is None else flow_shift
         b = jax.tree.leaves(prompt_embeds)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8
-        noise = jax.random.normal(
+        noise = self.initial_noise(
+            latents,
             self.rng(seed, generator),
             (b, self.transformer.cfg.in_channels, lat_h, lat_w),
-            jnp.bfloat16,
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,

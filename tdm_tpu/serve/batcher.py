@@ -1,0 +1,292 @@
+"""Micro-batching request scheduler — production serving over the jitted
+K-NFE samplers.
+
+The reference's serving story is single diffusers pipeline calls (the
+README recipes, `/root/reference/README.md:48-138`; SURVEY §3.4): one
+process, one prompt batch, one call. On TPU the economics are different and
+a server should exploit them:
+
+  * the whole 4-NFE loop is ONE compiled program whose throughput peaks at
+    a fixed batch (SD3-1024 on the v5e: batch 4 beats batch 8 —
+    docs/ENVIRONMENT_NOTES.md #7), and XLA recompiles on ANY shape change —
+    so the server pins a single compiled batch size and PADS the tail
+    rather than ever presenting a new shape;
+  * independent requests coalesce: the batcher waits up to `max_delay_ms`
+    after the first request to fill the batch — the classic
+    latency/throughput knob of continuous-batching servers;
+  * per-request determinism: each request's initial noise comes from its
+    OWN seed via the pipelines' `latents=` input, so a result never
+    depends on its batch-mates — (prompt, seed) reproduces exactly across
+    batch compositions, carrying the reference's fixed-seed contract
+    (seeds 8888/317, `README.md:57,98`) into a multi-tenant server.
+
+Works with every family pipeline (they share the `prompt_embeds=` /
+`negative_embeds=` / `latents=` call convention) and composes with the
+serving meshes: set `pipe.data_parallel_mesh` (batch throughput) or
+`pipe.tensor_parallel_mesh` (latency) and `pipe.quant` before wrapping.
+Only the worker thread touches the pipeline, so the jit cache needs no
+locking.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def latent_shape(pipe, call_kwargs: dict) -> tuple[int, ...]:
+    """Per-request (leading-1) latent shape for `pipe` at the server's
+    pinned resolution — mirrors each family's `__call__` shape math."""
+    fam = getattr(pipe, "family", "")
+    cfg = getattr(pipe, "transformer", None)
+    cfg = cfg.cfg if cfg is not None else pipe.unet.cfg
+    ch = getattr(cfg, "in_channels", 4)
+    if fam == "cogvideox":
+        c = pipe.vae_cfg
+        num_frames = call_kwargs.get("num_frames", 49)
+        h = call_kwargs.get("height", 480)
+        w = call_kwargs.get("width", 720)
+        f_lat = 1 + (num_frames - 1) // c.temporal_factor
+        return (1, ch, f_lat, h // c.spatial_factor, w // c.spatial_factor)
+    h = call_kwargs.get("height", 1024 if fam == "sd3" else 512)
+    w = call_kwargs.get("width", 1024 if fam == "sd3" else 512)
+    return (1, ch, h // 8, w // 8)
+
+
+def make_cond_fn(
+    pipe, embedding_cache: Optional[str] = None
+) -> Callable[[str], Any]:
+    """prompt → batch-1 conditioning pytree in the pipeline's family format.
+
+    Prefers attached text encoders (`pipe.encode_prompt`); falls back to an
+    offline embedding cache (`cli/build_cache` .npz — the cached-embedding
+    serving path, SURVEY §2 text-encoder row). Raises if neither is
+    available."""
+    has_encoders = bool(
+        getattr(pipe, "text_encoder", None)
+        or getattr(pipe, "text_encoders", None)
+    )
+    if has_encoders:
+        return lambda prompt: pipe.encode_prompt([prompt])
+    if embedding_cache is None:
+        raise ValueError(
+            "pipeline has no text encoders — pass embedding_cache= "
+            "(an .npz built with cli/build_cache)"
+        )
+    from tdm_tpu.data.prompts import EmbeddingCache
+
+    cache = EmbeddingCache.load(embedding_cache)
+    fam = getattr(pipe, "family", "")
+
+    def lookup(prompt: str):
+        try:
+            i = cache.prompts.index(prompt)
+        except ValueError:
+            raise KeyError(
+                f"prompt {prompt!r} not in the embedding cache — rebuild "
+                "with cli/build_cache"
+            )
+        e = cache.embeds[i : i + 1].astype(np.float32)
+        m = cache.masks[i : i + 1].astype(np.int32)
+        if fam == "cogvideox":
+            return e
+        if fam == "sd3":
+            if cache.pooled is None:
+                raise ValueError(
+                    "SD3 needs a pooled-carrying cache "
+                    "(build_cache --pipeline <sd3 dir>)"
+                )
+            return (e, cache.pooled[i : i + 1].astype(np.float32))
+        return (e, m)
+
+    return lookup
+
+
+@dataclass
+class _Pending:
+    cond: Any  # batch-1 conditioning pytree
+    noise: np.ndarray  # [1, ...] initial latent, from the request's seed
+    future: Future = field(default_factory=Future)
+    enqueued_at: float = field(default_factory=time.monotonic)
+
+
+@dataclass
+class ServeStats:
+    requests: int = 0
+    batches: int = 0
+    rows_padded: int = 0
+    failures: int = 0
+    last_batch_latency_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        d = dict(self.__dict__)
+        d["mean_fill"] = (
+            round(self.requests / max(1, self.batches), 3)
+            if self.batches
+            else 0.0
+        )
+        return d
+
+
+class MicroBatcher:
+    """Collect generation requests into fixed-size pipeline calls.
+
+    Static per server: batch_size, resolution, steps, guidance — everything
+    that changes the compiled program. Dynamic per request: prompt
+    (conditioning) and seed (initial noise). `submit` returns a
+    `concurrent.futures.Future` resolving to this request's [H, W, 3]
+    image (or [F, H, W, 3] video / latent row when the pipeline decodes to
+    those)."""
+
+    def __init__(
+        self,
+        pipe,
+        *,
+        batch_size: int = 4,
+        max_delay_ms: float = 50.0,
+        call_kwargs: Optional[dict] = None,
+        cond_fn: Optional[Callable[[str], Any]] = None,
+        embedding_cache: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+    ):
+        self.pipe = pipe
+        self.batch_size = int(batch_size)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.call_kwargs = dict(call_kwargs or {})
+        self.call_kwargs.pop("seed", None)  # per-request, via latents=
+        self.cond_fn = cond_fn or make_cond_fn(pipe, embedding_cache)
+        self._noise_shape = latent_shape(pipe, self.call_kwargs)
+        # server-level negative conditioning, encoded once (CFG > 1 only)
+        self._uncond = None
+        gs = self.call_kwargs.get("guidance_scale", 1.0)
+        if gs is not None and gs > 1.0:
+            self._uncond = self.cond_fn(negative_prompt or "")
+        self.stats = ServeStats()
+        self._q: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run_loop, name="tdm-serve-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ---- client side ----
+
+    def submit(
+        self,
+        prompt: Optional[str] = None,
+        *,
+        cond: Any = None,
+        seed: int = 0,
+    ) -> Future:
+        """Enqueue one request. `cond` (a batch-1 family pytree) bypasses
+        prompt encoding when the caller already has embeddings."""
+        if self._closed.is_set():
+            raise RuntimeError("batcher is closed")
+        if cond is None:
+            if prompt is None:
+                raise ValueError("need prompt or cond")
+            cond = self.cond_fn(prompt)
+        # per-request noise from the request's own seed — determinism is
+        # independent of batch composition (see module docstring)
+        noise = np.asarray(
+            jax.random.normal(
+                jax.random.PRNGKey(int(seed)), self._noise_shape, jnp.bfloat16
+            ).astype(jnp.float32)
+        )
+        pend = _Pending(cond=cond, noise=noise)
+        self._q.put(pend)
+        return pend.future
+
+    def generate(self, prompt: str, *, seed: int = 0, timeout: float = 600.0):
+        """Blocking convenience wrapper around `submit`."""
+        return self.submit(prompt, seed=seed).result(timeout=timeout)
+
+    def close(self, *, timeout: float = 30.0) -> None:
+        self._closed.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=timeout)
+
+    # ---- worker side ----
+
+    def _collect(self) -> list[_Pending]:
+        """One batch: block for the first request, then fill until
+        batch_size or the collect window closes."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _run_loop(self) -> None:
+        while not self._closed.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # surface to every caller, keep serving
+                self.stats.failures += len(batch)
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+        # drain: fail anything still queued after close()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(RuntimeError("batcher closed"))
+
+    def _run_batch(self, batch: list[_Pending]) -> None:
+        n = len(batch)
+        pad = self.batch_size - n
+        # pad the tail by repeating the last row — the compiled program only
+        # ever sees ONE batch shape, so no recompiles; padded outputs drop
+        rows = batch + [batch[-1]] * pad
+        cond = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *[p.cond for p in rows],
+        )
+        noise = np.concatenate([p.noise for p in rows], axis=0)
+        uncond = None
+        if self._uncond is not None:
+            uncond = jax.tree.map(
+                lambda x: np.repeat(np.asarray(x), self.batch_size, axis=0),
+                self._uncond,
+            )
+        t0 = time.monotonic()
+        out = self.pipe(
+            prompt_embeds=cond,
+            negative_embeds=uncond,
+            latents=noise,
+            **self.call_kwargs,
+        )
+        result = out.images if out.images is not None else out.latents
+        result = np.asarray(jnp.asarray(result, jnp.float32))
+        self.stats.last_batch_latency_s = time.monotonic() - t0
+        self.stats.requests += n
+        self.stats.batches += 1
+        self.stats.rows_padded += pad
+        for i, p in enumerate(batch):
+            p.future.set_result(result[i])

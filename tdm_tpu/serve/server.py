@@ -1,0 +1,247 @@
+"""HTTP serving front-end over the micro-batcher — `tdm-serve`.
+
+A dependency-free (stdlib `http.server`) JSON API wrapping
+`serve.batcher.MicroBatcher`, so the 4-NFE TDM students deploy as a
+service:
+
+    python -m tdm_tpu.serve.server --model out/pixart_tdm \\
+        --embedding_cache cache.npz --batch_size 4 --port 8000
+
+    POST /generate   {"prompt": "...", "seed": 8888}
+                     → {"image": <base64 PNG>, "shape": [H, W, 3], ...}
+                       (video pipelines: {"video": <base64 GIF>})
+    GET  /healthz    → {"ok": true, "stats": {...}}
+    GET  /stats      → batching counters (requests, batches, mean_fill, ...)
+
+Concurrent client requests coalesce into fixed-shape batched sampler calls
+(one compiled program — see serve/batcher.py for the TPU rationale). The
+reference has no serving daemon (its API surface is the diffusers pipeline
+call, SURVEY §1 layer D) — this is the production wrapper around that same
+contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _encode_image(arr: np.ndarray) -> dict:
+    """[H,W,3] float in [0,1] → PNG; [F,H,W,3] → GIF (fps 8, the reference's
+    export_to_video rate, README.md:135)."""
+    from PIL import Image
+
+    arr = np.clip(np.asarray(arr, np.float32), 0.0, 1.0)
+    if arr.ndim == 4:  # video
+        frames = [Image.fromarray((f * 255).astype(np.uint8)) for f in arr]
+        buf = io.BytesIO()
+        frames[0].save(
+            buf, format="GIF", save_all=True, append_images=frames[1:],
+            duration=125, loop=0,
+        )
+        return {
+            "video": base64.b64encode(buf.getvalue()).decode(),
+            "format": "gif",
+            "shape": list(arr.shape),
+        }
+    buf = io.BytesIO()
+    Image.fromarray((arr * 255).astype(np.uint8)).save(buf, format="PNG")
+    return {
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "format": "png",
+        "shape": list(arr.shape),
+    }
+
+
+def make_handler(batcher, request_timeout_s: float = 600.0):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the server object collects stats instead
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/stats"):
+                self._json(
+                    200, {"ok": True, "stats": batcher.stats.as_dict()}
+                )
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompt = req.get("prompt")
+                if not prompt:
+                    self._json(400, {"error": "missing 'prompt'"})
+                    return
+                seed = int(req.get("seed", 0))
+                fut = batcher.submit(prompt, seed=seed)
+                arr = fut.result(timeout=request_timeout_s)
+                out = _encode_image(arr)
+                out["seed"] = seed
+                self._json(200, out)
+            except KeyError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # keep the daemon alive on bad requests
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class TDMServer:
+    """Owns the HTTP server + batcher pair; `start()` is non-blocking (runs
+    the accept loop on a daemon thread), `serve_forever()` blocks."""
+
+    def __init__(
+        self,
+        batcher,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        *,
+        request_timeout_s: float = 600.0,
+    ):
+        self.batcher = batcher
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(batcher, request_timeout_s)
+        )
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "TDMServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="tdm-serve-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+        self.batcher.close()
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True,
+                   help="pipeline dir, diffusers checkout, or repo id")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="compiled batch (v5e SD3 sweet spot: 4)")
+    p.add_argument("--max_delay_ms", type=float, default=50.0,
+                   help="collect window after the first queued request")
+    p.add_argument("--num_inference_steps", type=int, default=4)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--negative_prompt", default=None,
+                   help="server-wide negative prompt (CFG > 1 only)")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--flow_shift", type=float, default=None)
+    p.add_argument("--lora", default=None)
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--quant", default=None, choices=(None, "int8"))
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel serving over N local devices")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel serving over N local devices "
+                        "(batch_size must divide N)")
+    p.add_argument("--embedding_cache", default=None,
+                   help="offline T5/CLIP cache (.npz) when the pipeline "
+                        "has no text encoders attached")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import inspect
+
+    from tdm_tpu.pipelines import from_pretrained
+    from tdm_tpu.serve.batcher import MicroBatcher
+
+    pipe = from_pretrained(args.model)
+    if args.lora:
+        pipe.load_lora_weights(args.lora, adapter_name="tdm")
+        pipe.set_adapters(["tdm"], [args.lora_scale])
+    if args.quant:
+        pipe.quant = args.quant
+    if args.tp and args.dp:
+        raise SystemExit("--tp and --dp are mutually exclusive")
+    if args.tp and args.tp > 1:
+        import jax
+
+        from tdm_tpu.parallel.tp import make_tp_mesh
+
+        pipe.tensor_parallel_mesh = make_tp_mesh(
+            1, args.tp, devices=jax.devices()[: args.tp]
+        )
+    if args.dp and args.dp > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        if args.batch_size % args.dp:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide --dp {args.dp}"
+            )
+        pipe.data_parallel_mesh = Mesh(
+            np.array(jax.devices()[: args.dp]), ("data",)
+        )
+
+    accepted = inspect.signature(type(pipe).__call__).parameters
+    call = {"num_inference_steps": args.num_inference_steps,
+            "guidance_scale": args.guidance_scale}
+    for k in ("height", "width", "num_frames", "flow_shift"):
+        v = getattr(args, k)
+        if v is not None:
+            call[k] = v
+    call = {k: v for k, v in call.items() if k in accepted}
+
+    batcher = MicroBatcher(
+        pipe,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        call_kwargs=call,
+        embedding_cache=args.embedding_cache,
+        negative_prompt=args.negative_prompt,
+    )
+    server = TDMServer(batcher, args.host, args.port)
+    print(
+        f"tdm-serve: {type(pipe).__name__} on "
+        f"http://{args.host}:{server.port} "
+        f"(batch {args.batch_size}, window {args.max_delay_ms}ms)"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

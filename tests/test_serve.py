@@ -1,0 +1,186 @@
+"""Serving subsystem tests (serve/batcher.py, serve/server.py): request
+coalescing into ONE fixed-shape compiled call, per-request determinism
+independent of batch composition, tail padding, the `latents=` pipeline
+escape hatch, and the HTTP daemon end-to-end."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdm_tpu.models import pixart, t5 as t5_mod, vae as vae_lib
+from tdm_tpu.pipelines import PixArtPipeline
+from tdm_tpu.serve import MicroBatcher, TDMServer, latent_shape
+
+from tests.test_pipelines import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask
+    )["params"]
+    tcfg = t5_mod.T5Config.tiny()
+    enc = t5_mod.T5Encoder(cfg=tcfg)
+    tparams = enc.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32), mask
+    )["params"]
+    vcfg = vae_lib.TAESDConfig(width=8, num_stages=1, blocks_per_stage=1)
+    dec = vae_lib.TAESDDecoder(cfg=vcfg)
+    vparams = dec.init(jax.random.PRNGKey(2), lat)["params"]
+    return PixArtPipeline(
+        model, params,
+        vae_decoder=dec, vae_params=vparams,
+        text_encoder=enc, text_encoder_params=tparams,
+        tokenizer=FakeTokenizer(vocab=120), max_text_len=8,
+    )
+
+
+CALL = dict(num_inference_steps=2, height=128, width=128, guidance_scale=1.0)
+
+
+def test_latents_escape_hatch(pipe):
+    """pipe(latents=noise) reproduces pipe(seed=s) exactly — the diffusers
+    `latents=` contract the batcher builds on."""
+    shape = latent_shape(pipe, CALL)
+    noise = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.bfloat16)
+    a = pipe(["a cat"], seed=7, **CALL).images
+    b = pipe(["a cat"], latents=noise, **CALL).images
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="latents shape"):
+        pipe(["a cat"], latents=noise[:, :, :8, :8], **CALL)
+
+
+def test_batcher_coalesces_and_is_deterministic(pipe):
+    calls = []
+    orig = type(pipe).__call__
+
+    def counting_call(self, *a, **kw):
+        calls.append(kw.get("latents").shape)
+        return orig(self, *a, **kw)
+
+    # solo references, one request per call (batch composition A)
+    solo = {}
+    for seed, prompt in [(0, "a cat"), (1, "a dog"), (2, "a panda")]:
+        solo[seed] = np.asarray(pipe([prompt], seed=seed, **CALL).images[0])
+
+    b = MicroBatcher(pipe, batch_size=4, max_delay_ms=2000.0, call_kwargs=CALL)
+    try:
+        type(pipe).__call__ = counting_call
+        # pre-encode so enqueues land inside one collect window even on a
+        # loaded CPU box (per-submit T5 encodes would race the window)
+        conds = {
+            seed: b.cond_fn(prompt)
+            for seed, prompt in [(0, "a cat"), (1, "a dog"), (2, "a panda")]
+        }
+        futs = {
+            seed: b.submit(cond=cond, seed=seed)
+            for seed, cond in conds.items()
+        }
+        got = {s: f.result(timeout=120) for s, f in futs.items()}
+    finally:
+        type(pipe).__call__ = orig
+        b.close()
+
+    # ONE batched call, padded 3 → 4 (fixed compiled shape)
+    assert len(calls) == 1 and calls[0][0] == 4
+    assert b.stats.batches == 1 and b.stats.requests == 3
+    assert b.stats.rows_padded == 1
+    # per-request results match the solo calls (batch composition B) to a
+    # bf16 fusion envelope — determinism is independent of batch-mates
+    for seed, arr in got.items():
+        np.testing.assert_allclose(arr, solo[seed], atol=2e-2)
+
+
+def test_batcher_exceeding_batch_size_splits(pipe):
+    b = MicroBatcher(pipe, batch_size=2, max_delay_ms=200.0, call_kwargs=CALL)
+    seeds = [9, 9, 1, 2, 3]  # two identical (prompt, seed) requests
+    try:
+        futs = [b.submit("a cat", seed=s) for s in seeds]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        b.close()
+    assert len(outs) == 5
+    assert b.stats.requests == 5
+    assert b.stats.batches >= 3  # 2+2+1 under any timing
+    # identical (prompt, seed) requests give identical results regardless
+    # of which batch each landed in
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_batcher_cond_error_propagates(pipe):
+    def bad_cond(prompt):
+        raise KeyError(f"prompt {prompt!r} not in cache")
+
+    b = MicroBatcher(
+        pipe, batch_size=2, max_delay_ms=10.0, call_kwargs=CALL,
+        cond_fn=bad_cond,
+    )
+    try:
+        with pytest.raises(KeyError, match="not in cache"):
+            b.submit("a cat", seed=0)
+    finally:
+        b.close()
+
+
+def test_http_server_end_to_end(pipe):
+    b = MicroBatcher(pipe, batch_size=2, max_delay_ms=30.0, call_kwargs=CALL)
+    server = TDMServer(b, port=0).start()  # ephemeral port
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        # health
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        # two concurrent generates coalesce into one batch
+        results = {}
+
+        def post(seed):
+            req = urllib.request.Request(
+                f"{url}/generate",
+                data=json.dumps({"prompt": "a cat", "seed": seed}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[seed] = json.loads(r.read())
+
+        threads = [
+            threading.Thread(target=post, args=(s,)) for s in (11, 22)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+
+        assert set(results) == {11, 22}
+        for seed, payload in results.items():
+            assert payload["format"] == "png"
+            assert payload["seed"] == seed
+            import base64
+
+            png = base64.b64decode(payload["image"])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # bad request: missing prompt → 400, daemon stays alive
+        req = urllib.request.Request(
+            f"{url}/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+            stats = json.loads(r.read())["stats"]
+        assert stats["requests"] >= 2
+    finally:
+        server.close()

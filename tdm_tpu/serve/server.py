@@ -35,10 +35,20 @@ import numpy as np
 
 def _encode_image(arr: np.ndarray) -> dict:
     """[H,W,3] float in [0,1] → PNG; [F,H,W,3] → GIF (fps 8, the reference's
-    export_to_video rate, README.md:135)."""
+    export_to_video rate, README.md:135); anything else (a pipeline with no
+    VAE attached returns raw latents) → base64 .npy."""
+    arr = np.asarray(arr, np.float32)
+    if not (arr.ndim in (3, 4) and arr.shape[-1] == 3):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return {
+            "latents": base64.b64encode(buf.getvalue()).decode(),
+            "format": "npy",
+            "shape": list(arr.shape),
+        }
     from PIL import Image
 
-    arr = np.clip(np.asarray(arr, np.float32), 0.0, 1.0)
+    arr = np.clip(arr, 0.0, 1.0)
     if arr.ndim == 4:  # video
         frames = [Image.fromarray((f * 255).astype(np.uint8)) for f in arr]
         buf = io.BytesIO()

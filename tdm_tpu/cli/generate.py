@@ -64,6 +64,10 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
     p.add_argument("--model_config", default=None,
                    help="JSON dict of config overrides for diffusers-layout "
                         'checkpoints, e.g. \'{"attn_impl": "xla"}\'')
+    p.add_argument("--compilation_cache", default="auto",
+                   help="persistent XLA compile cache dir so repeat "
+                        "invocations skip the cold compile; 'auto' = "
+                        "~/.cache/tdm_tpu/xla, 'off' disables")
     return p.parse_args(argv)
 
 
@@ -100,6 +104,12 @@ def main(argv: Optional[list[str]] = None) -> None:
 
     from tdm_tpu.pipelines import from_pretrained
     from tdm_tpu.train import validation
+    from tdm_tpu.utils.config import enable_compilation_cache
+
+    if args.compilation_cache != "off":
+        enable_compilation_cache(
+            None if args.compilation_cache == "auto" else args.compilation_cache
+        )
 
     kwargs = {}
     if args.model_config:

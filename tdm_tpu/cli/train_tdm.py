@@ -38,6 +38,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     cfg = cfg_lib.parse_args(argv)
     if pmesh.maybe_initialize_distributed():
         pass  # multi-host runtime up; process_index/count now reflect the pod
+    if cfg.compilation_cache != "off":
+        cfg_lib.enable_compilation_cache(
+            None if cfg.compilation_cache == "auto" else cfg.compilation_cache
+        )
     if cfg.debug_nans:
         # the jax_debug_nans guardrail (SURVEY.md §5 'race detection' TPU
         # equivalent — esp. the transport-NaN class of bugs, §2 defect 6)

@@ -186,6 +186,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embedding_cache", default=None,
                    help="offline T5/CLIP cache (.npz) when the pipeline "
                         "has no text encoders attached")
+    p.add_argument("--compilation_cache", default="auto",
+                   help="persistent XLA compile cache dir so daemon "
+                        "restarts skip the cold compile; 'auto' = "
+                        "~/.cache/tdm_tpu/xla, 'off' disables")
     return p.parse_args(argv)
 
 
@@ -195,6 +199,12 @@ def main(argv=None) -> None:
 
     from tdm_tpu.pipelines import from_pretrained
     from tdm_tpu.serve.batcher import MicroBatcher
+    from tdm_tpu.utils.config import enable_compilation_cache
+
+    if args.compilation_cache != "off":
+        enable_compilation_cache(
+            None if args.compilation_cache == "auto" else args.compilation_cache
+        )
 
     pipe = from_pretrained(args.model)
     if args.lora:

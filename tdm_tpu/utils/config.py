@@ -143,6 +143,10 @@ class TrainConfig:
     # profile_steps>0 wraps steps 11..11+N in a jax.profiler trace
     debug_nans: bool = False
     profile_steps: int = 0
+    # persistent XLA compile cache ('auto' = ~/.cache/tdm_tpu/xla, 'off'
+    # disables, anything else is a directory) — resumes/re-runs skip the
+    # 1-3 min cold compile (docs/ENVIRONMENT_NOTES.md #3)
+    compilation_cache: str = "auto"
 
     def resolved_output_dir(self) -> str:
         """Suffix encoding like the reference (`src/main.py:75-79`):
@@ -211,3 +215,28 @@ def parse_args(argv: Optional[list[str]] = None) -> TrainConfig:
     if cfg.dataset_name is None and cfg.train_data_dir is None:
         raise ValueError("Need either a dataset name or a training folder.")
     return cfg
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Turn on JAX's persistent compilation cache so daemon restarts and
+    resumed runs skip the 1-3 min full-model XLA compile (the tunnel's
+    dominant cold-start cost, docs/ENVIRONMENT_NOTES.md #3).
+
+    Resolution order: explicit `path` > $JAX_COMPILATION_CACHE_DIR >
+    ~/.cache/tdm_tpu/xla. Returns the directory in use. Safe to call
+    before or after the first jit; entries are keyed on HLO + compiler
+    version, so a stale cache is never wrong, only cold.
+    """
+    import jax
+
+    path = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.expanduser("~"), ".cache", "tdm_tpu", "xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took >1s to compile, regardless of entry size
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -12,7 +12,7 @@ export JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu
 python -m tdm_tpu.serve.server \
   --model "$RUN_DIR/pipe" --embedding_cache "$RUN_DIR/cache.npz" \
   --batch_size 2 --max_delay_ms 200 --num_inference_steps 4 \
-  --host 127.0.0.1 --port 8731 &
+  --warmup --host 127.0.0.1 --port 8731 &
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null || true' EXIT
 

@@ -190,6 +190,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="persistent XLA compile cache dir so daemon "
                         "restarts skip the cold compile; 'auto' = "
                         "~/.cache/tdm_tpu/xla, 'off' disables")
+    p.add_argument("--warmup", nargs="?", const="", default=None,
+                   metavar="PROMPT",
+                   help="run one discarded batch before accepting traffic "
+                        "so the first request is served at steady-state "
+                        "latency; with no PROMPT uses '' (or the first "
+                        "cached prompt when serving from --embedding_cache)")
     return p.parse_args(argv)
 
 
@@ -251,6 +257,18 @@ def main(argv=None) -> None:
         embedding_cache=args.embedding_cache,
         negative_prompt=args.negative_prompt,
     )
+    if args.warmup is not None:
+        wp = args.warmup
+        if not wp and args.embedding_cache:
+            # cache-served pipelines can only encode cached prompts
+            from tdm_tpu.data.prompts import EmbeddingCache
+
+            wp = EmbeddingCache.load(args.embedding_cache).prompts[0]
+        import time as _time
+
+        t0 = _time.monotonic()
+        batcher.generate(wp, seed=0)
+        print(f"tdm-serve: warmup batch done in {_time.monotonic() - t0:.1f}s")
     server = TDMServer(batcher, args.host, args.port)
     print(
         f"tdm-serve: {type(pipe).__name__} on "

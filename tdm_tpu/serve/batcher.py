@@ -114,6 +114,7 @@ def make_cond_fn(
 class _Pending:
     cond: Any  # batch-1 conditioning pytree
     noise: np.ndarray  # [1, ...] initial latent, from the request's seed
+    uncond: Any = None  # per-request negative conditioning (CFG > 1 only)
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.monotonic)
 
@@ -184,16 +185,24 @@ class MicroBatcher:
         prompt: Optional[str] = None,
         *,
         cond: Any = None,
+        negative_prompt: Optional[str] = None,
         seed: int = 0,
     ) -> Future:
         """Enqueue one request. `cond` (a batch-1 family pytree) bypasses
-        prompt encoding when the caller already has embeddings."""
+        prompt encoding when the caller already has embeddings.
+        `negative_prompt` overrides the server-wide negative conditioning
+        for this request (the reference's per-call knob, README.md:56-60);
+        it only takes effect when the server runs with guidance_scale > 1
+        (matching the pipelines: CFG off ignores negative conditioning)."""
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
         if cond is None:
             if prompt is None:
                 raise ValueError("need prompt or cond")
             cond = self.cond_fn(prompt)
+        uncond = None
+        if negative_prompt is not None and self._uncond is not None:
+            uncond = self.cond_fn(negative_prompt)
         # per-request noise from the request's own seed — determinism is
         # independent of batch composition (see module docstring)
         noise = np.asarray(
@@ -201,13 +210,22 @@ class MicroBatcher:
                 jax.random.PRNGKey(int(seed)), self._noise_shape, jnp.bfloat16
             ).astype(jnp.float32)
         )
-        pend = _Pending(cond=cond, noise=noise)
+        pend = _Pending(cond=cond, noise=noise, uncond=uncond)
         self._q.put(pend)
         return pend.future
 
-    def generate(self, prompt: str, *, seed: int = 0, timeout: float = 600.0):
+    def generate(
+        self,
+        prompt: str,
+        *,
+        negative_prompt: Optional[str] = None,
+        seed: int = 0,
+        timeout: float = 600.0,
+    ):
         """Blocking convenience wrapper around `submit`."""
-        return self.submit(prompt, seed=seed).result(timeout=timeout)
+        return self.submit(
+            prompt, negative_prompt=negative_prompt, seed=seed
+        ).result(timeout=timeout)
 
     def close(self, *, timeout: float = 30.0) -> None:
         self._closed.set()
@@ -271,9 +289,16 @@ class MicroBatcher:
         noise = np.concatenate([p.noise for p in rows], axis=0)
         uncond = None
         if self._uncond is not None:
+            # per-row: the request's own negative conditioning when it sent
+            # one, else the server-wide default
             uncond = jax.tree.map(
-                lambda x: np.repeat(np.asarray(x), self.batch_size, axis=0),
-                self._uncond,
+                lambda *xs: np.concatenate(
+                    [np.asarray(x) for x in xs], axis=0
+                ),
+                *[
+                    p.uncond if p.uncond is not None else self._uncond
+                    for p in rows
+                ],
             )
         t0 = time.monotonic()
         out = self.pipe(

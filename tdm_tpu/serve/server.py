@@ -7,7 +7,8 @@ service:
     python -m tdm_tpu.serve.server --model out/pixart_tdm \\
         --embedding_cache cache.npz --batch_size 4 --port 8000
 
-    POST /generate   {"prompt": "...", "seed": 8888}
+    POST /generate   {"prompt": "...", "seed": 8888,
+                      "negative_prompt": "..."}   (optional, CFG > 1 only)
                      → {"image": <base64 PNG>, "shape": [H, W, 3], ...}
                        (video pipelines: {"video": <base64 GIF>})
     GET  /healthz    → {"ok": true, "stats": {...}}
@@ -104,7 +105,11 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
                     self._json(400, {"error": "missing 'prompt'"})
                     return
                 seed = int(req.get("seed", 0))
-                fut = batcher.submit(prompt, seed=seed)
+                fut = batcher.submit(
+                    prompt,
+                    negative_prompt=req.get("negative_prompt"),
+                    seed=seed,
+                )
                 arr = fut.result(timeout=request_timeout_s)
                 out = _encode_image(arr)
                 out["seed"] = seed

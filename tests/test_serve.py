@@ -117,6 +117,62 @@ def test_batcher_exceeding_batch_size_splits(pipe):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_batcher_per_request_negative_prompt(pipe):
+    """Per-request negative prompts ride one coalesced CFG batch: each row
+    carries its own uncond (or the server default) and matches a solo
+    pipeline call with the same negative embeds."""
+    call = dict(CALL, guidance_scale=3.0)
+    shape = latent_shape(pipe, call)
+
+    def solo(prompt, negative, seed):
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), shape, jnp.bfloat16
+        )
+        return np.asarray(
+            pipe(
+                prompt_embeds=pipe.encode_prompt([prompt]),
+                negative_embeds=pipe.encode_prompt([negative]),
+                latents=noise,
+                **call,
+            ).images[0]
+        )
+
+    b = MicroBatcher(
+        pipe, batch_size=2, max_delay_ms=2000.0, call_kwargs=call,
+        negative_prompt="blurry",
+    )
+    try:
+        # pre-encode: both requests must land in one collect window
+        c0, c1 = b.cond_fn("a cat"), b.cond_fn("a dog")
+        b.cond_fn("ugly")  # pre-compile the encoder for the override below
+        f0 = b.submit(cond=c0, seed=0)  # server-wide default negative
+        f1 = b.submit(cond=c1, seed=1)
+        got0 = f0.result(timeout=120)
+        got1 = f1.result(timeout=120)
+    finally:
+        b.close()
+    np.testing.assert_allclose(got0, solo("a cat", "blurry", 0), atol=2e-2)
+
+    # now the per-request override, in a fresh batcher (fresh stats)
+    b = MicroBatcher(
+        pipe, batch_size=2, max_delay_ms=2000.0, call_kwargs=call,
+        negative_prompt="blurry",
+    )
+    try:
+        f0 = b.submit(cond=c0, seed=0)
+        f1 = b.submit(cond=c1, negative_prompt="ugly", seed=1)
+        mixed0 = f0.result(timeout=120)
+        mixed1 = f1.result(timeout=120)
+    finally:
+        b.close()
+    assert b.stats.batches == 1  # both rows shipped in ONE compiled call
+    # row 0 (default negative) is unaffected by row 1's override
+    np.testing.assert_allclose(mixed0, got0, atol=2e-2)
+    np.testing.assert_allclose(mixed1, solo("a dog", "ugly", 1), atol=2e-2)
+    # the override actually changed the result vs the default negative
+    assert np.abs(mixed1 - got1).max() > 1e-4
+
+
 def test_batcher_cond_error_propagates(pipe):
     def bad_cond(prompt):
         raise KeyError(f"prompt {prompt!r} not in cache")

@@ -125,6 +125,21 @@ class DiffusionPipelineBase:
 
     # ---- jit cache ----
 
+    def _jit_component(
+        self, name: str, build: Callable[[], Callable]
+    ) -> Callable:
+        """Cached jit for an auxiliary component forward (text encoder, VAE
+        decode). Eager `Module.apply` dispatches per-op — ~100 ms round-trip
+        each over the axon tunnel (docs/ENVIRONMENT_NOTES.md #2), which
+        would dominate per-request serving latency. Params stay jit
+        ARGUMENTS (repo invariant). Distinct batch sizes re-specialize via
+        jit's own shape cache."""
+        key = ("component", name)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(build())
+        return fn
+
     def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:
         # int8/bf16 and dp/tp/single-chip variants compile separately
         key = (

@@ -74,8 +74,12 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         ids, mask = self.tokenizer(
             prompts, max_length=self.transformer.cfg.max_text_len
         )
-        return self.text_encoder.apply(
-            {"params": self.text_encoder_params}, jnp.asarray(ids), jnp.asarray(mask)
+        enc = self._jit_component(
+            "t5",
+            lambda: lambda p, i, m: self.text_encoder.apply({"params": p}, i, m),
+        )
+        return enc(
+            self.text_encoder_params, jnp.asarray(ids), jnp.asarray(mask)
         )
 
     def __call__(
@@ -159,7 +163,13 @@ class CogVideoXPipeline(DiffusionPipelineBase):
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
-        decode = lambda z: self.vae_decoder.apply({"params": self.vae_params}, z)
+        # one jitted per-tile decode, reused across every tile (all interior
+        # tiles share one shape, so one compile serves the whole sweep)
+        tile_dec = self._jit_component(
+            "vae3d_tile",
+            lambda: lambda p, z: self.vae_decoder.apply({"params": p}, z),
+        )
+        decode = lambda z: tile_dec(self.vae_params, z)
         video = vae3d.decode_tiled(
             decode,
             latents.astype(jnp.float32) / c.scaling_factor,

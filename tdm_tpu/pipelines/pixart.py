@@ -65,8 +65,12 @@ class PixArtPipeline(DiffusionPipelineBase):
                 "(embeds, mask) instead of raw prompts"
             )
         ids, mask = self.tokenizer(prompts, max_length=self.max_text_len)
-        embeds = self.text_encoder.apply(
-            {"params": self.text_encoder_params}, jnp.asarray(ids), jnp.asarray(mask)
+        enc = self._jit_component(
+            "t5",
+            lambda: lambda p, i, m: self.text_encoder.apply({"params": p}, i, m),
+        )
+        embeds = enc(
+            self.text_encoder_params, jnp.asarray(ids), jnp.asarray(mask)
         )
         return embeds, jnp.asarray(mask)
 
@@ -117,11 +121,17 @@ class PixArtPipeline(DiffusionPipelineBase):
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
-        decoded = self.vae_decoder.apply(
-            {"params": self.vae_params}, latents.astype(jnp.float32) / self.vae_scaling
+        dec = self._jit_component(
+            "vae_decode",
+            lambda: lambda p, z: to_images(
+                self.vae_decoder.apply(
+                    {"params": p}, z.astype(jnp.float32) / self.vae_scaling
+                ),
+                value_range=self.vae_range,
+            ),
         )
         return PipelineOutput(
-            images=to_images(decoded, value_range=self.vae_range), latents=latents
+            images=dec(self.vae_params, latents), latents=latents
         )
 
     def _build_sampler(self, solver, steps, lat_h, lat_w, use_cfg, cfg, total_steps):

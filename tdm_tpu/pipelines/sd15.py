@@ -58,10 +58,14 @@ class SD15Pipeline(DiffusionPipelineBase):
                 "no tokenizer/text_encoder attached — pass prompt_embeds"
             )
         ids, mask = self.tokenizer(prompts, max_length=self.max_text_len)
-        out = self.text_encoder.apply(
-            {"params": self.text_encoder_params}, jnp.asarray(ids)
+        enc = self._jit_component(
+            "clip",
+            lambda: lambda p, i: self.text_encoder.apply(
+                {"params": p}, i
+            ).last_hidden_state,
         )
-        return out.last_hidden_state, jnp.asarray(mask)
+        out = enc(self.text_encoder_params, jnp.asarray(ids))
+        return out, jnp.asarray(mask)
 
     def __call__(
         self,
@@ -105,12 +109,17 @@ class SD15Pipeline(DiffusionPipelineBase):
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
-        decoded = self.vae_decoder.apply(
-            {"params": self.vae_params},
-            latents.astype(jnp.float32) / self.vae_scaling,
+        dec = self._jit_component(
+            "vae_decode",
+            lambda: lambda p, z: to_images(
+                self.vae_decoder.apply(
+                    {"params": p}, z.astype(jnp.float32) / self.vae_scaling
+                ),
+                value_range=self.vae_range,
+            ),
         )
         return PipelineOutput(
-            images=to_images(decoded, value_range=self.vae_range), latents=latents
+            images=dec(self.vae_params, latents), latents=latents
         )
 
     def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg):

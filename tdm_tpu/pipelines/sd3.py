@@ -70,26 +70,44 @@ class SD3Pipeline(DiffusionPipelineBase):
             )
         ctx_dim = self.transformer.cfg.context_dim
 
-        seqs, pooleds = [], []
-        for name in ("clip_l", "clip_g"):
-            model, params = self.text_encoders[name]
-            ids, _ = self.tokenizers[name](prompts, max_length=self.max_clip_len)
-            out = model.apply({"params": params}, jnp.asarray(ids))
-            # SD3 reads the PENULTIMATE hidden layer for the sequence path
-            seqs.append(out.hidden_states[-2])
-            pooleds.append(out.pooled)
-        clip_seq = jnp.concatenate(seqs, axis=-1)  # [B, 77, 768+1280]
-        clip_seq = jnp.pad(
-            clip_seq, ((0, 0), (0, 0), (0, ctx_dim - clip_seq.shape[-1]))
+        def build():
+            mod_l = self.text_encoders["clip_l"][0]
+            mod_g = self.text_encoders["clip_g"][0]
+            mod_t5 = self.text_encoders["t5"][0]
+
+            def fn(p_l, p_g, p_t5, ids_l, ids_g, ids_t5, mask_t5):
+                seqs, pooleds = [], []
+                for mod, p, ids in ((mod_l, p_l, ids_l), (mod_g, p_g, ids_g)):
+                    out = mod.apply({"params": p}, ids)
+                    # SD3 reads the PENULTIMATE hidden layer for the
+                    # sequence path
+                    seqs.append(out.hidden_states[-2])
+                    pooleds.append(out.pooled)
+                clip_seq = jnp.concatenate(seqs, axis=-1)  # [B,77,768+1280]
+                clip_seq = jnp.pad(
+                    clip_seq,
+                    ((0, 0), (0, 0), (0, ctx_dim - clip_seq.shape[-1])),
+                )
+                t5_seq = mod_t5.apply({"params": p_t5}, ids_t5, mask_t5)
+                context = jnp.concatenate([clip_seq, t5_seq], axis=1)
+                pooled = jnp.concatenate(pooleds, axis=-1)  # [B, 2048]
+                return context, pooled
+
+            return fn
+
+        ids_l, _ = self.tokenizers["clip_l"](prompts, max_length=self.max_clip_len)
+        ids_g, _ = self.tokenizers["clip_g"](prompts, max_length=self.max_clip_len)
+        ids_t5, mask_t5 = self.tokenizers["t5"](prompts, max_length=self.max_t5_len)
+        enc = self._jit_component("clip_lg_t5", build)
+        return enc(
+            self.text_encoders["clip_l"][1],
+            self.text_encoders["clip_g"][1],
+            self.text_encoders["t5"][1],
+            jnp.asarray(ids_l),
+            jnp.asarray(ids_g),
+            jnp.asarray(ids_t5),
+            jnp.asarray(mask_t5),
         )
-        t5_model, t5_params = self.text_encoders["t5"]
-        ids, mask = self.tokenizers["t5"](prompts, max_length=self.max_t5_len)
-        t5_seq = t5_model.apply(
-            {"params": t5_params}, jnp.asarray(ids), jnp.asarray(mask)
-        )
-        context = jnp.concatenate([clip_seq, t5_seq], axis=1)
-        pooled = jnp.concatenate(pooleds, axis=-1)  # [B, 2048]
-        return context, pooled
 
     def __call__(
         self,
@@ -137,12 +155,18 @@ class SD3Pipeline(DiffusionPipelineBase):
 
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
-        decoded = self.vae_decoder.apply(
-            {"params": self.vae_params},
-            latents.astype(jnp.float32) / self.vae_scaling + self.vae_shift,
+        dec = self._jit_component(
+            "vae_decode",
+            lambda: lambda p, z: to_images(
+                self.vae_decoder.apply(
+                    {"params": p},
+                    z.astype(jnp.float32) / self.vae_scaling + self.vae_shift,
+                ),
+                value_range=self.vae_range,
+            ),
         )
         return PipelineOutput(
-            images=to_images(decoded, value_range=self.vae_range), latents=latents
+            images=dec(self.vae_params, latents), latents=latents
         )
 
     def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg, shift):

@@ -278,12 +278,85 @@ def bench_cogvideox_4nfe(batch: int = 1, iters: int = 3,
     }
 
 
+def bench_serve(batch: int = 4, requests: int = 40) -> dict:
+    """End-to-end serving throughput through the MicroBatcher (serve/):
+    SD3-Medium 1024px 4-NFE with `requests` queued clients coalescing into
+    fixed batch-`batch` compiled calls. Measures what a tdm-serve daemon
+    sustains (request→result, incl. batching + host readback), against the
+    same 2 img/s north star as the raw sampler — the gap between this and
+    `bench.py sd3` is the serving overhead."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdm_tpu.models import mmdit_sd3
+    from tdm_tpu.pipelines.sd3 import SD3Pipeline
+    from tdm_tpu.serve import MicroBatcher
+
+    cfg = mmdit_sd3.MMDiTConfig()  # SD3-Medium 2B
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    ctx = jnp.zeros((1, 333, cfg.context_dim), jnp.bfloat16)
+    pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 128, 128), jnp.bfloat16),
+        jnp.zeros((1,)),
+        ctx,
+        pooled,
+    )["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    pipe = SD3Pipeline(model, params)  # latent-out (no VAE attached)
+
+    rng = np.random.default_rng(0)
+    ctx_np = rng.standard_normal((1, 333, cfg.context_dim), np.float32) * 0.02
+    pooled_np = rng.standard_normal((1, cfg.pooled_dim), np.float32) * 0.02
+    b = MicroBatcher(
+        pipe,
+        batch_size=batch,
+        max_delay_ms=20.0,
+        call_kwargs=dict(
+            num_inference_steps=4, guidance_scale=1.0, height=1024, width=1024
+        ),
+        cond_fn=lambda prompt: (ctx_np, pooled_np),
+    )
+    b.generate("warmup", seed=0)  # compile the batched sampler
+
+    lats: list = []
+    futs = []
+    t0 = time.perf_counter()
+    for i in range(requests):
+        ts = time.perf_counter()
+        f = b.submit("p", seed=i)
+        f.add_done_callback(
+            lambda fut, ts=ts: lats.append(time.perf_counter() - ts)
+        )
+        futs.append(f)
+    for f in futs:
+        f.result(timeout=600)
+    elapsed = time.perf_counter() - t0
+    b.close()
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+    ips = requests / elapsed
+    return {
+        "metric": "serve_sd3_1024px_4nfe_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": (
+            f"images/s/chip (micro-batched requests, batch {batch}, "
+            f"saturated p50 {p50:.2f}s p95 {p95:.2f}s)"
+        ),
+        "vs_baseline": round(ips / 2.0, 3),
+    }
+
+
 if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
     fn = {
         "sd3": bench_sd3_4nfe,
+        "serve": bench_serve,
         "sd3_int8": lambda: bench_sd3_4nfe(quant=True),
         "pixart": bench_pixart_4nfe,
         "pixart_int8": lambda: bench_pixart_4nfe(quant=True),

@@ -113,7 +113,7 @@ def make_cond_fn(
 @dataclass
 class _Pending:
     cond: Any  # batch-1 conditioning pytree
-    noise: np.ndarray  # [1, ...] initial latent, from the request's seed
+    noise: jnp.ndarray  # [1, ...] device-resident initial latent (own seed)
     uncond: Any = None  # per-request negative conditioning (CFG > 1 only)
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.monotonic)
@@ -204,12 +204,13 @@ class MicroBatcher:
         if negative_prompt is not None and self._uncond is not None:
             uncond = self.cond_fn(negative_prompt)
         # per-request noise from the request's own seed — determinism is
-        # independent of batch composition (see module docstring)
-        noise = np.asarray(
-            jax.random.normal(
-                jax.random.PRNGKey(int(seed)), self._noise_shape, jnp.bfloat16
-            ).astype(jnp.float32)
-        )
+        # independent of batch composition (see module docstring). Stays a
+        # DEVICE array: np.asarray here would force a host readback per
+        # request plus a re-upload per batch over the ~100 ms-RTT tunnel
+        # (docs/ENVIRONMENT_NOTES.md #2)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(int(seed)), self._noise_shape, jnp.bfloat16
+        ).astype(jnp.float32)
         pend = _Pending(cond=cond, noise=noise, uncond=uncond)
         self._q.put(pend)
         return pend.future
@@ -286,7 +287,7 @@ class MicroBatcher:
             lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
             *[p.cond for p in rows],
         )
-        noise = np.concatenate([p.noise for p in rows], axis=0)
+        noise = jnp.concatenate([p.noise for p in rows], axis=0)
         uncond = None
         if self._uncond is not None:
             # per-row: the request's own negative conditioning when it sent

@@ -61,6 +61,34 @@ def latent_shape(pipe, call_kwargs: dict) -> tuple[int, ...]:
     return (1, ch, h // 8, w // 8)
 
 
+def _to_device(tree, float_dtype=None):
+    """Conditioning pytree → DEVICE arrays; floats cast to `float_dtype`
+    when given.
+
+    Two tunnel costs die here (docs/ENVIRONMENT_NOTES.md #2): the upload
+    happens once per REQUEST on the submit thread (overlapped with the
+    collect window) instead of once per batch on the worker's critical
+    path, and — for bf16-compute models — bf16 halves the bytes (SD3's
+    [1,333,4096] context is 5.4 MB as f32; the f32-per-batch upload
+    measured ~1.4 s/batch at batch 4). The bf16 cast is numerically free
+    exactly when the denoiser computes in bf16 (its first touch of
+    conditioning re-rounds identically), so the caller passes the model's
+    own compute dtype and f32 models keep f32 conditioning."""
+    def put(x):
+        if float_dtype is not None and not isinstance(x, jax.Array):
+            # cast on the HOST (ml_dtypes bf16 ndarray) so the upload
+            # itself is half-width — device-side cast would ship f32 bytes
+            x = np.asarray(x)
+            if np.issubdtype(x.dtype, np.floating):
+                x = x.astype(float_dtype)
+        x = jnp.asarray(x)
+        if float_dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(float_dtype)
+        return x
+
+    return jax.tree.map(put, tree)
+
+
 def make_cond_fn(
     pipe, embedding_cache: Optional[str] = None
 ) -> Callable[[str], Any]:
@@ -166,10 +194,19 @@ class MicroBatcher:
         self.cond_fn = cond_fn or make_cond_fn(pipe, embedding_cache)
         self._noise_shape = latent_shape(pipe, self.call_kwargs)
         # server-level negative conditioning, encoded once (CFG > 1 only)
+        # conditioning uploads ride the model's compute dtype (see
+        # _to_device): bf16-compute denoisers get bf16 conds for free
+        denoiser = getattr(pipe, "transformer", None) or getattr(
+            pipe, "unet", None
+        )
+        mdt = getattr(getattr(denoiser, "cfg", None), "dtype", None)
+        self._cond_dtype = jnp.bfloat16 if mdt == jnp.bfloat16 else None
         self._uncond = None
         gs = self.call_kwargs.get("guidance_scale", 1.0)
         if gs is not None and gs > 1.0:
-            self._uncond = self.cond_fn(negative_prompt or "")
+            self._uncond = _to_device(
+                self.cond_fn(negative_prompt or ""), self._cond_dtype
+            )
         self.stats = ServeStats()
         self._q: queue.Queue = queue.Queue()
         self._closed = threading.Event()
@@ -200,9 +237,10 @@ class MicroBatcher:
             if prompt is None:
                 raise ValueError("need prompt or cond")
             cond = self.cond_fn(prompt)
+        cond = _to_device(cond, self._cond_dtype)
         uncond = None
         if negative_prompt is not None and self._uncond is not None:
-            uncond = self.cond_fn(negative_prompt)
+            uncond = _to_device(self.cond_fn(negative_prompt), self._cond_dtype)
         # per-request noise from the request's own seed — determinism is
         # independent of batch composition (see module docstring). Stays a
         # DEVICE array: np.asarray here would force a host readback per
@@ -283,8 +321,10 @@ class MicroBatcher:
         # pad the tail by repeating the last row — the compiled program only
         # ever sees ONE batch shape, so no recompiles; padded outputs drop
         rows = batch + [batch[-1]] * pad
+        # all rows are already device-resident (submit side) — concat on
+        # device, nothing re-crosses the tunnel on the batch critical path
         cond = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            lambda *xs: jnp.concatenate(xs, axis=0),
             *[p.cond for p in rows],
         )
         noise = jnp.concatenate([p.noise for p in rows], axis=0)
@@ -293,9 +333,7 @@ class MicroBatcher:
             # per-row: the request's own negative conditioning when it sent
             # one, else the server-wide default
             uncond = jax.tree.map(
-                lambda *xs: np.concatenate(
-                    [np.asarray(x) for x in xs], axis=0
-                ),
+                lambda *xs: jnp.concatenate(xs, axis=0),
                 *[
                     p.uncond if p.uncond is not None else self._uncond
                     for p in rows
@@ -309,7 +347,10 @@ class MicroBatcher:
             **self.call_kwargs,
         )
         result = out.images if out.images is not None else out.latents
-        result = np.asarray(jnp.asarray(result, jnp.float32))
+        # read back in the array's NATIVE dtype (bf16 latents cross the
+        # tunnel at half the bytes; ml_dtypes handles bf16 ndarrays), then
+        # upcast host-side — bit-identical to upcasting on device
+        result = np.asarray(result).astype(np.float32)
         self.stats.last_batch_latency_s = time.monotonic() - t0
         self.stats.requests += n
         self.stats.batches += 1

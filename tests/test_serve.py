@@ -173,6 +173,38 @@ def test_batcher_per_request_negative_prompt(pipe):
     assert np.abs(mixed1 - got1).max() > 1e-4
 
 
+def test_batcher_composes_with_dp_mesh(pipe):
+    """The batcher's device-resident rows reshard cleanly into a
+    data-parallel serving mesh (pipe.data_parallel_mesh): same results as
+    single-device serving. Guards the device-side concat path."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    reqs = [(0, "a cat"), (1, "a dog"), (2, "a panda"), (3, "a fox")]
+
+    def serve_all():
+        b = MicroBatcher(
+            pipe, batch_size=4, max_delay_ms=2000.0, call_kwargs=CALL
+        )
+        try:
+            conds = [(s, b.cond_fn(p)) for s, p in reqs]
+            futs = [(s, b.submit(cond=c, seed=s)) for s, c in conds]
+            return {s: f.result(timeout=300) for s, f in futs}
+        finally:
+            b.close()
+
+    base = serve_all()
+    pipe.data_parallel_mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    try:
+        dp = serve_all()
+    finally:
+        pipe.data_parallel_mesh = None
+    for s in base:
+        np.testing.assert_allclose(dp[s], base[s], atol=1e-5)
+
+
 def test_batcher_cond_error_propagates(pipe):
     def bad_cond(prompt):
         raise KeyError(f"prompt {prompt!r} not in cache")

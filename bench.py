@@ -326,6 +326,7 @@ def bench_serve(batch: int = 4, requests: int = 40) -> dict:
             num_inference_steps=4, guidance_scale=1.0, height=1024, width=1024
         ),
         cond_fn=lambda prompt: (ctx_np, pooled_np),
+        max_queue=requests,  # the bench floods the queue deliberately
     )
     b.generate("warmup", seed=0)  # compile the batched sampler
 
@@ -343,6 +344,10 @@ def bench_serve(batch: int = 4, requests: int = 40) -> dict:
         f.result(timeout=600)
     elapsed = time.perf_counter() - t0
     b.close()
+    # Future.set_result wakes result() BEFORE running callbacks — wait for
+    # the appender to catch up so the percentiles see every request
+    while len(lats) < requests:
+        time.sleep(0.01)
     lats.sort()
     p50 = lats[len(lats) // 2]
     p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]

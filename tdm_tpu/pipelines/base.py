@@ -20,6 +20,7 @@ TPU-native mechanics under the hood:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Any, Callable, Optional, Sequence
 
@@ -47,6 +48,7 @@ class DiffusionPipelineBase:
         self._loras: dict[str, lora_lib.LoRA] = {}
         self._active: tuple = ()  # ((name, scale), ...)
         self._jit_cache: dict = {}
+        self._jit_lock = threading.Lock()
         self.base_params: Any = None
         self.params: Any = None  # base with active adapters merged
         # 'int8' → dynamic int8 MXU matmuls for the big Dense layers
@@ -137,7 +139,12 @@ class DiffusionPipelineBase:
         key = ("component", name)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._jit_cache[key] = jax.jit(build())
+            # serving calls this from concurrent request threads — the lock
+            # prevents duplicate multi-second cold compiles on a cache miss
+            with self._jit_lock:
+                fn = self._jit_cache.get(key)
+                if fn is None:
+                    fn = self._jit_cache[key] = jax.jit(build())
         return fn
 
     def _cached(self, key: tuple, build: Callable[[], Callable]) -> Callable:

@@ -24,8 +24,11 @@ Works with every family pipeline (they share the `prompt_embeds=` /
 `negative_embeds=` / `latents=` call convention) and composes with the
 serving meshes: set `pipe.data_parallel_mesh` (batch throughput) or
 `pipe.tensor_parallel_mesh` (latency) and `pipe.quant` before wrapping.
-Only the worker thread touches the pipeline, so the jit cache needs no
-locking.
+Threading contract: only the worker thread CALLS the pipeline (sampler jit
+cache is single-threaded); submit threads run `encode_prompt`, whose
+component jit cache is locked in DiffusionPipelineBase._jit_component.
+The pending queue is bounded (`max_queue`) because each queued row pins
+device HBM — overflow raises `Overloaded` (HTTP 429 upstream).
 """
 
 from __future__ import annotations
@@ -147,12 +150,18 @@ class _Pending:
     enqueued_at: float = field(default_factory=time.monotonic)
 
 
+class Overloaded(RuntimeError):
+    """Raised by submit() when the pending queue is full — the HTTP layer
+    maps this to 429 so clients back off instead of the daemon dying."""
+
+
 @dataclass
 class ServeStats:
     requests: int = 0
     batches: int = 0
     rows_padded: int = 0
     failures: int = 0
+    rejected: int = 0
     last_batch_latency_s: float = 0.0
 
     def as_dict(self) -> dict:
@@ -185,6 +194,7 @@ class MicroBatcher:
         cond_fn: Optional[Callable[[str], Any]] = None,
         embedding_cache: Optional[str] = None,
         negative_prompt: Optional[str] = None,
+        max_queue: int = 64,
     ):
         self.pipe = pipe
         self.batch_size = int(batch_size)
@@ -208,7 +218,10 @@ class MicroBatcher:
                 self.cond_fn(negative_prompt or ""), self._cond_dtype
             )
         self.stats = ServeStats()
-        self._q: queue.Queue = queue.Queue()
+        # bounded: each pending row pins device HBM (cond + noise, ~4-8 MB
+        # for SD3) — an unbounded queue under a request burst would OOM the
+        # chip. Full queue → Overloaded → HTTP 429 (clients back off).
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, int(max_queue)))
         self._closed = threading.Event()
         self._worker = threading.Thread(
             target=self._run_loop, name="tdm-serve-batcher", daemon=True
@@ -233,6 +246,13 @@ class MicroBatcher:
         (matching the pipelines: CFG off ignores negative conditioning)."""
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
+        if self._q.full():
+            # reject BEFORE encoding/uploading anything — overload must not
+            # cost device work
+            self.stats.rejected += 1
+            raise Overloaded(
+                f"pending queue full ({self._q.maxsize} requests) — retry"
+            )
         if cond is None:
             if prompt is None:
                 raise ValueError("need prompt or cond")
@@ -250,7 +270,14 @@ class MicroBatcher:
             jax.random.PRNGKey(int(seed)), self._noise_shape, jnp.bfloat16
         ).astype(jnp.float32)
         pend = _Pending(cond=cond, noise=noise, uncond=uncond)
-        self._q.put(pend)
+        try:
+            # non-blocking: the full() pre-check above can race a burst
+            self._q.put_nowait(pend)
+        except queue.Full:
+            self.stats.rejected += 1
+            raise Overloaded(
+                f"pending queue full ({self._q.maxsize} requests) — retry"
+            ) from None
         return pend.future
 
     def generate(
@@ -268,7 +295,10 @@ class MicroBatcher:
 
     def close(self, *, timeout: float = 30.0) -> None:
         self._closed.set()
-        self._q.put(None)  # wake the worker
+        try:
+            self._q.put_nowait(None)  # wake the worker
+        except queue.Full:
+            pass  # queue has items — the worker is awake and will see _closed
         self._worker.join(timeout=timeout)
 
     # ---- worker side ----

@@ -72,6 +72,8 @@ def _encode_image(arr: np.ndarray) -> dict:
 
 
 def make_handler(batcher, request_timeout_s: float = 600.0):
+    from tdm_tpu.serve.batcher import Overloaded
+
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; the server object collects stats instead
         def log_message(self, fmt, *args):
@@ -114,6 +116,8 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
                 out = _encode_image(arr)
                 out["seed"] = seed
                 self._json(200, out)
+            except Overloaded as e:
+                self._json(429, {"error": str(e), "retry": True})
             except KeyError as e:
                 self._json(400, {"error": str(e)})
             except Exception as e:  # keep the daemon alive on bad requests
@@ -195,6 +199,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="persistent XLA compile cache dir so daemon "
                         "restarts skip the cold compile; 'auto' = "
                         "~/.cache/tdm_tpu/xla, 'off' disables")
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="max pending requests (each pins device HBM); a "
+                        "full queue returns HTTP 429")
     p.add_argument("--warmup", nargs="?", const="", default=None,
                    metavar="PROMPT",
                    help="run one discarded batch before accepting traffic "
@@ -261,7 +268,13 @@ def main(argv=None) -> None:
         call_kwargs=call,
         embedding_cache=args.embedding_cache,
         negative_prompt=args.negative_prompt,
+        max_queue=args.max_queue,
     )
+    # bind the socket BEFORE the (minutes-long on a cold cache) warmup
+    # compile: early clients connect into the listen backlog and are
+    # answered as soon as serve_forever starts, instead of racing a
+    # connection-refused window for the whole warmup
+    server = TDMServer(batcher, args.host, args.port)
     if args.warmup is not None:
         wp = args.warmup
         if not wp and args.embedding_cache:
@@ -274,7 +287,6 @@ def main(argv=None) -> None:
         t0 = _time.monotonic()
         batcher.generate(wp, seed=0)
         print(f"tdm-serve: warmup batch done in {_time.monotonic() - t0:.1f}s")
-    server = TDMServer(batcher, args.host, args.port)
     print(
         f"tdm-serve: {type(pipe).__name__} on "
         f"http://{args.host}:{server.port} "

@@ -205,6 +205,41 @@ def test_batcher_composes_with_dp_mesh(pipe):
         np.testing.assert_allclose(dp[s], base[s], atol=1e-5)
 
 
+def test_batcher_overload_rejects(pipe):
+    """A full pending queue raises Overloaded (HTTP 429 upstream) BEFORE
+    any device work, and counts in stats.rejected."""
+    import time
+
+    from tdm_tpu.serve.batcher import Overloaded
+
+    gate = threading.Event()
+    orig = type(pipe).__call__
+
+    def blocking_call(self, *a, **kw):
+        gate.wait(60)
+        return orig(self, *a, **kw)
+
+    b = MicroBatcher(
+        pipe, batch_size=1, max_delay_ms=1.0, call_kwargs=CALL, max_queue=1
+    )
+    c = b.cond_fn("a cat")
+    try:
+        type(pipe).__call__ = blocking_call
+        f1 = b.submit(cond=c, seed=0)  # worker dequeues, blocks in the call
+        time.sleep(0.5)
+        f2 = b.submit(cond=c, seed=1)  # fills the 1-slot queue
+        with pytest.raises(Overloaded, match="queue full"):
+            b.submit(cond=c, seed=2)
+        assert b.stats.rejected == 1
+        gate.set()
+        f1.result(timeout=120)
+        f2.result(timeout=120)
+    finally:
+        type(pipe).__call__ = orig
+        gate.set()
+        b.close()
+
+
 def test_batcher_cond_error_propagates(pipe):
     def bad_cond(prompt):
         raise KeyError(f"prompt {prompt!r} not in cache")

@@ -286,7 +286,7 @@ def bench_serve(batch: int = 4, requests: int = 40) -> dict:
     same 2 img/s north star as the raw sampler — the gap between this and
     `bench.py sd3` is the serving overhead.
 
-    Measured (v5e, idle box): 1.69 img/s vs 2.49 raw. The residual gap is
+    Measured (v5e, idle box): 1.7-1.9 img/s vs 2.49 raw. The residual gap is
     tunnel I/O, not design: per-request bf16 embedding upload (~2.7 MB) +
     per-batch f32 latent readback (4.2 MB) at the axon tunnel's ~15 MB/s.
     On a real TPU host (PCIe DMA, GB/s) the same traffic is ~1 ms/batch.

@@ -286,13 +286,15 @@ def bench_serve(batch: int = 4, requests: int = 40) -> dict:
     same 2 img/s north star as the raw sampler — the gap between this and
     `bench.py sd3` is the serving overhead.
 
-    Measured (v5e, idle box): 1.7-1.9 img/s vs 2.49 raw. The residual gap is
+    Measured (v5e, idle box): 1.97 img/s vs 2.49 raw. The residual gap is
     tunnel I/O, not design: per-request bf16 embedding upload (~2.7 MB) +
     per-batch f32 latent readback (4.2 MB) at the axon tunnel's ~15 MB/s.
     On a real TPU host (PCIe DMA, GB/s) the same traffic is ~1 ms/batch.
     History: 1.12 (f32 host conds concat+uploaded per batch on the worker)
     → 1.54 (device-resident conds, uploaded per request off the critical
-    path) → 1.69 (host-side bf16 cast so uploads are half-width)."""
+    path) → 1.69 (host-side bf16 cast so uploads are half-width)
+    → 1.97 (result readback moved to a resolver thread, overlapping the
+    next batch's compute)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -222,7 +222,14 @@ class MicroBatcher:
         # for SD3) — an unbounded queue under a request burst would OOM the
         # chip. Full queue → Overloaded → HTTP 429 (clients back off).
         self._q: queue.Queue = queue.Queue(maxsize=max(1, int(max_queue)))
+        # device results awaiting host readback (see _resolve_loop); the
+        # small bound caps in-flight result HBM + pipelining depth
+        self._resolve_q: queue.Queue = queue.Queue(maxsize=4)
         self._closed = threading.Event()
+        self._resolver = threading.Thread(
+            target=self._resolve_loop, name="tdm-serve-resolver", daemon=True
+        )
+        self._resolver.start()
         self._worker = threading.Thread(
             target=self._run_loop, name="tdm-serve-batcher", daemon=True
         )
@@ -300,6 +307,8 @@ class MicroBatcher:
         except queue.Full:
             pass  # queue has items — the worker is awake and will see _closed
         self._worker.join(timeout=timeout)
+        self._resolve_q.put(None)  # after the worker: no more batches enqueue
+        self._resolver.join(timeout=timeout)
 
     # ---- worker side ----
 
@@ -377,13 +386,31 @@ class MicroBatcher:
             **self.call_kwargs,
         )
         result = out.images if out.images is not None else out.latents
-        # read back in the array's NATIVE dtype (bf16 latents cross the
-        # tunnel at half the bytes; ml_dtypes handles bf16 ndarrays), then
-        # upcast host-side — bit-identical to upcasting on device
-        result = np.asarray(result).astype(np.float32)
-        self.stats.last_batch_latency_s = time.monotonic() - t0
-        self.stats.requests += n
-        self.stats.batches += 1
-        self.stats.rows_padded += pad
-        for i, p in enumerate(batch):
-            p.future.set_result(result[i])
+        # hand the DEVICE result to the resolver thread: the ~0.3 s/batch
+        # host readback overlaps the NEXT batch's compute instead of
+        # blocking this worker (queue bound caps in-flight device results)
+        self._resolve_q.put((batch, result, t0, pad))
+
+    def _resolve_loop(self) -> None:
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                return
+            batch, result_dev, t0, pad = item
+            try:
+                # read back in the array's NATIVE dtype (bf16 latents cross
+                # the tunnel at half the bytes; ml_dtypes handles bf16
+                # ndarrays), then upcast host-side — bit-identical to
+                # upcasting on device
+                result = np.asarray(result_dev).astype(np.float32)
+                self.stats.last_batch_latency_s = time.monotonic() - t0
+                self.stats.requests += len(batch)
+                self.stats.batches += 1
+                self.stats.rows_padded += pad
+                for i, p in enumerate(batch):
+                    p.future.set_result(result[i])
+            except Exception as e:  # async execution errors surface HERE
+                self.stats.failures += len(batch)
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)

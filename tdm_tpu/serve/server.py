@@ -84,6 +84,10 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if code == 429:
+                # hint: one batch's worth of backoff
+                retry = max(1, int(batcher.stats.last_batch_latency_s + 0.5))
+                self.send_header("Retry-After", str(retry))
             self.end_headers()
             self.wfile.write(body)
 

@@ -350,6 +350,13 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
     for f in futs:
         f.result(timeout=600)
     elapsed = time.perf_counter() - t0
+    # idle latency: a lone request on a drained server (pads 1 → batch,
+    # collect window + compute + readback) — what a light-traffic client sees
+    solo = []
+    for i in range(3):
+        ts = time.perf_counter()
+        b.submit("p", seed=1000 + i).result(timeout=600)
+        solo.append(time.perf_counter() - ts)
     b.close()
     # Future.set_result wakes result() BEFORE running callbacks — wait for
     # the appender to catch up so the percentiles see every request
@@ -368,7 +375,8 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
         "value": round(ips, 3),
         "unit": (
             f"images/s/chip (micro-batched requests, batch {batch}, "
-            f"saturated p50 {p50:.2f}s p95 {p95:.2f}s)"
+            f"saturated p50 {p50:.2f}s p95 {p95:.2f}s, "
+            f"idle latency {sorted(solo)[1]:.2f}s)"
         ),
         "vs_baseline": round(ips / 2.0, 3),
     }

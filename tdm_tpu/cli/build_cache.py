@@ -96,6 +96,9 @@ def main(argv=None) -> None:
     from tdm_tpu.data import prompts as data_prompts, tokenizer as tok_lib
     from tdm_tpu.io import convert
     from tdm_tpu.models import t5 as t5_mod
+    from tdm_tpu.utils.config import apply_platform_env
+
+    apply_platform_env()
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompts", required=True,

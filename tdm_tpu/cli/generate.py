@@ -102,6 +102,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     args = parse_args(argv)
     import numpy as np
 
+    from tdm_tpu.utils.config import apply_platform_env
+
+    apply_platform_env()
+
     from tdm_tpu.pipelines import from_pretrained
     from tdm_tpu.train import validation
     from tdm_tpu.utils.config import enable_compilation_cache

@@ -35,6 +35,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.train import families, optim as topt, tdm, validation
     from tdm_tpu.utils import checkpoint as ckpt_lib, config as cfg_lib, logging as log_lib
 
+    cfg_lib.apply_platform_env()
     cfg = cfg_lib.parse_args(argv)
     if pmesh.maybe_initialize_distributed():
         pass  # multi-host runtime up; process_index/count now reflect the pod

@@ -38,7 +38,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -195,9 +195,30 @@ class MicroBatcher:
         embedding_cache: Optional[str] = None,
         negative_prompt: Optional[str] = None,
         max_queue: int = 64,
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
+        """`batch_buckets`: optional ascending batch sizes to round partial
+        batches up to (e.g. (1, 4)): a lone request on an idle server runs
+        the batch-1 program (~half the latency, none of the 4× padded
+        compute) instead of padding to the full batch. Each bucket is one
+        more compiled program — warm them all (server --warmup does).
+        Default: only `batch_size` (the single-shape contract). Note:
+        results stay deterministic per (prompt, seed, bucket shape), but
+        across DIFFERENT bucket shapes they agree only up to XLA's
+        shape-dependent fusion envelope — pin one bucket (the default) if
+        bit-exact reproduction across traffic levels matters."""
         self.pipe = pipe
         self.batch_size = int(batch_size)
+        if batch_buckets is None:
+            self.batch_buckets = (self.batch_size,)
+        else:
+            bb = sorted({int(b) for b in batch_buckets} | {self.batch_size})
+            if bb[0] < 1 or bb[-1] != self.batch_size:
+                raise ValueError(
+                    f"batch_buckets {batch_buckets} must be in [1, "
+                    f"batch_size={self.batch_size}]"
+                )
+            self.batch_buckets = tuple(bb)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.call_kwargs = dict(call_kwargs or {})
         self.call_kwargs.pop("seed", None)  # per-request, via latents=
@@ -356,9 +377,11 @@ class MicroBatcher:
 
     def _run_batch(self, batch: list[_Pending]) -> None:
         n = len(batch)
-        pad = self.batch_size - n
-        # pad the tail by repeating the last row — the compiled program only
-        # ever sees ONE batch shape, so no recompiles; padded outputs drop
+        # round up to the smallest allowed bucket; pad the tail by repeating
+        # the last row — the compiled program only ever sees the bucket
+        # shapes (one by default), so no recompiles; padded outputs drop
+        bucket = next(b for b in self.batch_buckets if b >= n)
+        pad = bucket - n
         rows = batch + [batch[-1]] * pad
         # all rows are already device-resident (submit side) — concat on
         # device, nothing re-crosses the tunnel on the batch critical path

@@ -206,6 +206,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max_queue", type=int, default=64,
                    help="max pending requests (each pins device HBM); a "
                         "full queue returns HTTP 429")
+    p.add_argument("--batch_buckets", default=None,
+                   help="comma-separated batch sizes to round partial "
+                        "batches up to, e.g. '1,4': lone requests on an "
+                        "idle server run the small program (~half the "
+                        "latency, no padded compute) at the cost of one "
+                        "compile per bucket (all warmed by --warmup)")
     p.add_argument("--warmup", nargs="?", const="", default=None,
                    metavar="PROMPT",
                    help="run one discarded batch before accepting traffic "
@@ -218,6 +224,10 @@ def parse_args(argv=None) -> argparse.Namespace:
 def main(argv=None) -> None:
     args = parse_args(argv)
     import inspect
+
+    from tdm_tpu.utils.config import apply_platform_env
+
+    apply_platform_env()
 
     from tdm_tpu.pipelines import from_pretrained
     from tdm_tpu.serve.batcher import MicroBatcher
@@ -265,6 +275,14 @@ def main(argv=None) -> None:
             call[k] = v
     call = {k: v for k, v in call.items() if k in accepted}
 
+    buckets = None
+    if args.batch_buckets:
+        buckets = tuple(int(b) for b in args.batch_buckets.split(","))
+        if args.dp and args.dp > 1 and any(b % args.dp for b in buckets):
+            raise SystemExit(
+                f"--batch_buckets {args.batch_buckets} must all divide "
+                f"--dp {args.dp} (each bucket batch shards over the mesh)"
+            )
     batcher = MicroBatcher(
         pipe,
         batch_size=args.batch_size,
@@ -273,6 +291,7 @@ def main(argv=None) -> None:
         embedding_cache=args.embedding_cache,
         negative_prompt=args.negative_prompt,
         max_queue=args.max_queue,
+        batch_buckets=buckets,
     )
     # bind the socket BEFORE the (minutes-long on a cold cache) warmup
     # compile: early clients connect into the listen backlog and are
@@ -289,8 +308,19 @@ def main(argv=None) -> None:
         import time as _time
 
         t0 = _time.monotonic()
-        batcher.generate(wp, seed=0)
-        print(f"tdm-serve: warmup batch done in {_time.monotonic() - t0:.1f}s")
+        # warm EVERY bucket: submit bucket-many concurrent requests per
+        # compiled shape, largest first (its cache entries help the rest).
+        # Pre-encoded cond so all of a bucket's enqueues land inside one
+        # collect window.
+        wc = batcher.cond_fn(wp)
+        for bucket in reversed(batcher.batch_buckets):
+            futs = [batcher.submit(cond=wc, seed=i) for i in range(bucket)]
+            for f in futs:
+                f.result(timeout=3600)
+        print(
+            f"tdm-serve: warmed {len(batcher.batch_buckets)} batch shape(s) "
+            f"in {_time.monotonic() - t0:.1f}s"
+        )
     print(
         f"tdm-serve: {type(pipe).__name__} on "
         f"http://{args.host}:{server.port} "

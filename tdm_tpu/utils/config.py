@@ -217,6 +217,23 @@ def parse_args(argv: Optional[list[str]] = None) -> TrainConfig:
     return cfg
 
 
+def apply_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu tdm-serve ...` actually run on CPU.
+
+    This machine's sitecustomize registers the axon TPU plugin at
+    interpreter start and the ambient JAX_PLATFORMS freezes the platform
+    choice before user code runs (docs/ENVIRONMENT_NOTES.md #6) — exporting
+    the env var alone does NOT take effect (measured: a down tunnel hangs a
+    `JAX_PLATFORMS=cpu` process at device init). Re-applying the env value
+    to jax.config before first device use restores the standard JAX
+    contract. No-op when the variable is unset."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> str:
     """Turn on JAX's persistent compilation cache so daemon restarts and
     resumed runs skip the 1-3 min full-model XLA compile (the tunnel's

@@ -205,6 +205,46 @@ def test_batcher_composes_with_dp_mesh(pipe):
         np.testing.assert_allclose(dp[s], base[s], atol=1e-5)
 
 
+def test_batcher_buckets_pick_smallest_shape(pipe):
+    """batch_buckets: a lone request runs the batch-1 program (no padded
+    rows), a pair runs batch-2; results match solo pipeline calls."""
+    calls = []
+    orig = type(pipe).__call__
+
+    def counting_call(self, *a, **kw):
+        calls.append(kw.get("latents").shape[0])
+        return orig(self, *a, **kw)
+
+    solo = np.asarray(pipe(["a cat"], seed=3, **CALL).images[0])
+    b = MicroBatcher(
+        pipe, batch_size=2, max_delay_ms=100.0, call_kwargs=CALL,
+        batch_buckets=(1, 2),
+    )
+    try:
+        c = b.cond_fn("a cat")
+        type(pipe).__call__ = counting_call
+        lone = b.submit(cond=c, seed=3).result(timeout=120)
+        f1 = b.submit(cond=c, seed=3)
+        f2 = b.submit(cond=c, seed=4)
+        pair = f1.result(timeout=120)
+        f2.result(timeout=120)
+    finally:
+        type(pipe).__call__ = orig
+        b.close()
+    assert calls[0] == 1  # lone request took the batch-1 shape
+    assert set(calls[1:]) <= {1, 2}  # pair coalesced (or split under load)
+    assert b.stats.rows_padded == 0
+    np.testing.assert_allclose(lone, solo, atol=2e-2)
+    # same (prompt, seed) across DIFFERENT bucket shapes: deterministic per
+    # shape, equal up to the shape-dependent XLA fusion envelope
+    np.testing.assert_allclose(lone, pair, atol=2e-2)
+
+    with pytest.raises(ValueError, match="batch_buckets"):
+        MicroBatcher(
+            pipe, batch_size=2, call_kwargs=CALL, batch_buckets=(3,)
+        )
+
+
 def test_batcher_overload_rejects(pipe):
     """A full pending queue raises Overloaded (HTTP 429 upstream) BEFORE
     any device work, and counts in stats.rejected."""

@@ -245,6 +245,60 @@ def test_batcher_buckets_pick_smallest_shape(pipe):
         )
 
 
+def test_batcher_serves_video_pipeline():
+    """The video path end to end: latent_shape's CogVideoX branch sizes the
+    per-request noise, the batcher returns an [F, H, W, 3] video row, and
+    the HTTP encoder would ship it as GIF."""
+    from tdm_tpu.models import cogvideox as cog, vae3d
+    from tdm_tpu.pipelines import CogVideoXPipeline
+    from tdm_tpu.serve.server import _encode_image
+
+    cfg = cog.CogVideoXConfig.tiny()
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    vcfg = vae3d.VAE3DConfig.tiny()
+    dec = vae3d.VAE3DDecoder(cfg=vcfg)
+    lat = jnp.zeros((1, 16, cfg.sample_frames, cfg.sample_h, cfg.sample_w))
+    text = jnp.zeros((1, cfg.max_text_len, cfg.text_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text)[
+        "params"
+    ]
+    vparams = dec.init(jax.random.PRNGKey(1), lat)["params"]
+    vid_pipe = CogVideoXPipeline(
+        model, params, vae_decoder=dec, vae_params=vparams, vae_cfg=vcfg,
+        vae_tile=8, vae_tile_overlap=2,
+    )
+    num_frames = 1 + (cfg.sample_frames - 1) * vcfg.temporal_factor
+    call = dict(
+        num_inference_steps=2,
+        num_frames=num_frames,
+        height=cfg.sample_h * vcfg.spatial_factor,
+        width=cfg.sample_w * vcfg.spatial_factor,
+        guidance_scale=1.0,
+    )
+    emb = np.asarray(
+        jax.random.normal(
+            jax.random.PRNGKey(3), (1, cfg.max_text_len, cfg.text_dim)
+        )
+    )
+    b = MicroBatcher(
+        vid_pipe, batch_size=2, max_delay_ms=10.0, call_kwargs=call,
+        cond_fn=lambda prompt: emb,
+    )
+    try:
+        row = b.submit("a video", seed=8888).result(timeout=300)
+    finally:
+        b.close()
+    assert row.shape == (
+        num_frames,
+        cfg.sample_h * vcfg.spatial_factor,
+        cfg.sample_w * vcfg.spatial_factor,
+        3,
+    )
+    assert np.isfinite(row).all()
+    out = _encode_image(row)
+    assert out["format"] == "gif" and out["shape"] == list(row.shape)
+
+
 def test_batcher_overload_rejects(pipe):
     """A full pending queue raises Overloaded (HTTP 429 upstream) BEFORE
     any device work, and counts in stats.rejected."""

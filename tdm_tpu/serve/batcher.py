@@ -163,9 +163,14 @@ class ServeStats:
     failures: int = 0
     rejected: int = 0
     last_batch_latency_s: float = 0.0
+    # compiled-shape histogram: {bucket_size: batches run at that shape}
+    batches_by_shape: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         d = dict(self.__dict__)
+        d["batches_by_shape"] = {
+            str(k): v for k, v in sorted(self.batches_by_shape.items())
+        }
         d["mean_fill"] = (
             round(self.requests / max(1, self.batches), 3)
             if self.batches
@@ -430,6 +435,10 @@ class MicroBatcher:
                 self.stats.requests += len(batch)
                 self.stats.batches += 1
                 self.stats.rows_padded += pad
+                shape = len(batch) + pad
+                self.stats.batches_by_shape[shape] = (
+                    self.stats.batches_by_shape.get(shape, 0) + 1
+                )
                 for i, p in enumerate(batch):
                     p.future.set_result(result[i])
             except Exception as e:  # async execution errors surface HERE

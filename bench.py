@@ -382,10 +382,40 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
     }
 
 
+def _device_preflight(timeout_s: float = 240.0) -> None:
+    """Fail fast if device init would hang (down axon tunnel): enumerate
+    devices in a THROWAWAY subprocess with a hard timeout — an in-process
+    probe couldn't be cancelled. Costs ~2 s against a healthy backend."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: device init did not complete in {timeout_s:.0f}s — "
+            "TPU tunnel down? aborting instead of hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    except subprocess.CalledProcessError as e:
+        print(
+            f"bench: device init failed: {e.stderr.decode()[-500:]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
+    _device_preflight()
     fn = {
         "sd3": bench_sd3_4nfe,
         "serve": bench_serve,

@@ -389,9 +389,16 @@ def _device_preflight(timeout_s: float = 240.0) -> None:
     import subprocess
     import sys
 
+    probe = (
+        # honor JAX_PLATFORMS in the probe exactly like the CLIs do
+        # (sitecustomize SETS jax_platforms in config, which beats the env
+        # var — docs/ENVIRONMENT_NOTES.md #6)
+        "from tdm_tpu.utils.config import apply_platform_env; "
+        "apply_platform_env(); import jax; jax.devices()"
+    )
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe],
             timeout=timeout_s,
             check=True,
             capture_output=True,
@@ -415,6 +422,9 @@ if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "sd3"
+    from tdm_tpu.utils.config import apply_platform_env
+
+    apply_platform_env()
     _device_preflight()
     fn = {
         "sd3": bench_sd3_4nfe,

@@ -162,7 +162,12 @@ class ServeStats:
     rows_padded: int = 0
     failures: int = 0
     rejected: int = 0
+    # dispatch → readback-complete; under pipelining this INCLUDES time the
+    # result waited behind other readbacks (an upper bound on one batch)
     last_batch_latency_s: float = 0.0
+    # completion-to-completion interval — the sustained per-batch period
+    # when saturated (use min(latency, period) for backoff hints)
+    last_batch_period_s: float = 0.0
     # compiled-shape histogram: {bucket_size: batches run at that shape}
     batches_by_shape: dict = field(default_factory=dict)
 
@@ -251,6 +256,7 @@ class MicroBatcher:
         # device results awaiting host readback (see _resolve_loop); the
         # small bound caps in-flight result HBM + pipelining depth
         self._resolve_q: queue.Queue = queue.Queue(maxsize=4)
+        self._last_done: Optional[float] = None  # resolver-thread only
         self._closed = threading.Event()
         self._resolver = threading.Thread(
             target=self._resolve_loop, name="tdm-serve-resolver", daemon=True
@@ -326,6 +332,38 @@ class MicroBatcher:
             prompt, negative_prompt=negative_prompt, seed=seed
         ).result(timeout=timeout)
 
+    def warm(
+        self, prompt: str = "", *, cond: Any = None, timeout: float = 3600.0
+    ) -> None:
+        """Deterministically compile EVERY bucket shape before traffic.
+
+        For each bucket (largest first — its cache entries help the rest),
+        enqueue exactly that many pre-built rows in one tight loop. The
+        rows share one encoded cond and one noise array, so there is no
+        per-row encode/upload between puts and they land microseconds
+        apart; the collect window is temporarily widened so the worker
+        cannot split them into smaller shapes — unlike concurrent
+        submit() calls, which only coalesce if they beat the window."""
+        if cond is None:
+            cond = self.cond_fn(prompt)
+        cond = _to_device(cond, self._cond_dtype)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(0), self._noise_shape, jnp.bfloat16
+        ).astype(jnp.float32)
+        old_delay = self.max_delay_s
+        self.max_delay_s = max(old_delay, 2.0)
+        try:
+            for bucket in sorted(self.batch_buckets, reverse=True):
+                rows = [
+                    _Pending(cond=cond, noise=noise) for _ in range(bucket)
+                ]
+                for r in rows:
+                    self._q.put(r)
+                for r in rows:
+                    r.future.result(timeout=timeout)
+        finally:
+            self.max_delay_s = old_delay
+
     def close(self, *, timeout: float = 30.0) -> None:
         self._closed.set()
         try:
@@ -333,7 +371,19 @@ class MicroBatcher:
         except queue.Full:
             pass  # queue has items — the worker is awake and will see _closed
         self._worker.join(timeout=timeout)
-        self._resolve_q.put(None)  # after the worker: no more batches enqueue
+        if self._worker.is_alive():
+            # a batch is still compiling/executing past the timeout — do NOT
+            # enqueue the resolver sentinel: it would cut ahead of that
+            # batch's results and orphan its futures. Both threads are
+            # daemons; the in-flight batch still resolves, and they die
+            # with the process.
+            return
+        try:
+            # worker is dead → nothing else will enqueue; bounded put so a
+            # resolver wedged on a hung readback can't block close() forever
+            self._resolve_q.put(None, timeout=timeout)
+        except queue.Full:
+            return  # resolver wedged mid-readback; abandon (daemon thread)
         self._resolver.join(timeout=timeout)
 
     # ---- worker side ----
@@ -431,7 +481,11 @@ class MicroBatcher:
                 # ndarrays), then upcast host-side — bit-identical to
                 # upcasting on device
                 result = np.asarray(result_dev).astype(np.float32)
-                self.stats.last_batch_latency_s = time.monotonic() - t0
+                now = time.monotonic()
+                self.stats.last_batch_latency_s = now - t0
+                if self._last_done is not None:
+                    self.stats.last_batch_period_s = now - self._last_done
+                self._last_done = now
                 self.stats.requests += len(batch)
                 self.stats.batches += 1
                 self.stats.rows_padded += pad

@@ -85,9 +85,17 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             if code == 429:
-                # hint: one batch's worth of backoff
-                retry = max(1, int(batcher.stats.last_batch_latency_s + 0.5))
-                self.send_header("Retry-After", str(retry))
+                # hint: one batch's worth of backoff. Under pipelining the
+                # latency stat includes readback queue-wait; the completion
+                # interval is the true sustained period — min() picks the
+                # honest figure in both the idle and saturated regimes.
+                s = batcher.stats
+                period = (
+                    min(s.last_batch_latency_s, s.last_batch_period_s)
+                    if s.last_batch_period_s > 0
+                    else s.last_batch_latency_s
+                )
+                self.send_header("Retry-After", str(max(1, int(period + 0.5))))
             self.end_headers()
             self.wfile.write(body)
 
@@ -195,7 +203,7 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="tensor-parallel serving over N local devices")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel serving over N local devices "
-                        "(batch_size must divide N)")
+                        "(batch_size must be a multiple of N)")
     p.add_argument("--embedding_cache", default=None,
                    help="offline T5/CLIP cache (.npz) when the pipeline "
                         "has no text encoders attached")
@@ -260,7 +268,8 @@ def main(argv=None) -> None:
 
         if args.batch_size % args.dp:
             raise SystemExit(
-                f"--batch_size {args.batch_size} must divide --dp {args.dp}"
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--dp {args.dp} (the batch shards over the mesh)"
             )
         pipe.data_parallel_mesh = Mesh(
             np.array(jax.devices()[: args.dp]), ("data",)
@@ -280,8 +289,8 @@ def main(argv=None) -> None:
         buckets = tuple(int(b) for b in args.batch_buckets.split(","))
         if args.dp and args.dp > 1 and any(b % args.dp for b in buckets):
             raise SystemExit(
-                f"--batch_buckets {args.batch_buckets} must all divide "
-                f"--dp {args.dp} (each bucket batch shards over the mesh)"
+                f"--batch_buckets {args.batch_buckets} must all be multiples "
+                f"of --dp {args.dp} (each bucket batch shards over the mesh)"
             )
     batcher = MicroBatcher(
         pipe,
@@ -308,15 +317,7 @@ def main(argv=None) -> None:
         import time as _time
 
         t0 = _time.monotonic()
-        # warm EVERY bucket: submit bucket-many concurrent requests per
-        # compiled shape, largest first (its cache entries help the rest).
-        # Pre-encoded cond so all of a bucket's enqueues land inside one
-        # collect window.
-        wc = batcher.cond_fn(wp)
-        for bucket in reversed(batcher.batch_buckets):
-            futs = [batcher.submit(cond=wc, seed=i) for i in range(bucket)]
-            for f in futs:
-                f.result(timeout=3600)
+        batcher.warm(wp)  # deterministically compiles EVERY bucket shape
         print(
             f"tdm-serve: warmed {len(batcher.batch_buckets)} batch shape(s) "
             f"in {_time.monotonic() - t0:.1f}s"

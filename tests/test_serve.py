@@ -244,6 +244,18 @@ def test_batcher_buckets_pick_smallest_shape(pipe):
             pipe, batch_size=2, call_kwargs=CALL, batch_buckets=(3,)
         )
 
+    # warm() compiles EVERY bucket shape deterministically (one batch per
+    # shape), even with a collect window too small for submit() coalescing
+    b = MicroBatcher(
+        pipe, batch_size=2, max_delay_ms=0.1, call_kwargs=CALL,
+        batch_buckets=(1, 2),
+    )
+    try:
+        b.warm("a cat")
+    finally:
+        b.close()
+    assert b.stats.batches_by_shape == {1: 1, 2: 1}
+
 
 def test_batcher_serves_video_pipeline():
     """The video path end to end: latent_shape's CogVideoX branch sizes the

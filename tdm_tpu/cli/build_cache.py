@@ -75,11 +75,26 @@ def _build_via_pipeline(args, prompt_list):
         if p_ is not None:
             pooleds.append(p_[: len(chunk)])
     u_e, u_m, u_p = enc([""] * bs)
+    val_prompts = list(args.validation_prompts or [])
+    v_e = v_m = v_p = None
+    if val_prompts:
+        ve, vm, vp = [], [], []
+        for i in range(0, len(val_prompts), bs):
+            chunk = val_prompts[i : i + bs]
+            e, m, p_ = enc(chunk + [""] * (bs - len(chunk)))
+            ve.append(e[: len(chunk)])
+            vm.append(m[: len(chunk)])
+            if p_ is not None:
+                vp.append(p_[: len(chunk)])
+        v_e, v_m = np.concatenate(ve), np.concatenate(vm)
+        v_p = np.concatenate(vp) if vp else None
     cache = data_prompts.EmbeddingCache(
         np.concatenate(embeds), np.concatenate(masks), list(prompt_list),
         uncond_embed=u_e[0], uncond_mask=u_m[0],
         pooled=np.concatenate(pooleds) if pooleds else None,
         uncond_pooled=u_p[0] if u_p is not None else None,
+        val_prompts=val_prompts, val_embeds=v_e, val_masks=v_m,
+        val_pooled=v_p,
     )
     cache.save(args.out)
     extra = "" if cache.pooled is None else (
@@ -114,6 +129,16 @@ def main(argv=None) -> None:
                    help="pipeline family for --pipeline mode (derived "
                         "from the pipeline itself when omitted)")
     p.add_argument("--out", required=True, help="output .npz cache path")
+    p.add_argument("--validation_prompts", nargs="*", default=[
+        # the train CLI's fixed grid prompts (src/main.py:424-429) — always
+        # embedded under dedicated keys so validation grids render the SAME
+        # prompts every cadence; override to match a custom
+        # --validation_prompts training run
+        "a photo of a cat", "a photo of a dog",
+        "a photo of a panda", "a photo of a pikachu",
+    ])
+    p.add_argument("--dataset_config_name", default=None,
+                   help="HF dataset config for --prompts dataset names")
     p.add_argument("--max_length", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_samples", type=int, default=None)
@@ -128,6 +153,7 @@ def main(argv=None) -> None:
     prompt_list = data_prompts.load_prompts(
         args.prompts, caption_column=args.caption_column,
         max_samples=args.max_samples,
+        dataset_config_name=args.dataset_config_name,
     )
     if args.pipeline is not None:
         _build_via_pipeline(args, prompt_list)
@@ -150,6 +176,7 @@ def main(argv=None) -> None:
         prompt_list, tokenizer,
         lambda ids, mask: encode(params, jnp.asarray(ids), jnp.asarray(mask)),
         max_length=args.max_length, batch_size=args.batch_size,
+        val_prompts=args.validation_prompts,
     )
     cache.save(args.out)
     print(f"wrote {args.out}: {len(cache.prompts)} prompts, "

@@ -105,6 +105,10 @@ def main(argv: Optional[list[str]] = None) -> None:
         # --gradient_checkpointing → per-block remat, the torch
         # unet.enable_gradient_checkpointing() (reference src/main.py:191-193)
         gradient_checkpointing=cfg.gradient_checkpointing,
+        # --mixed_precision → the denoiser's compute dtype (bf16 default;
+        # 'no'/'fp32' forces f32 compute — reference src/main.py:330-338)
+        mixed_precision=cfg.mixed_precision,
+        allow_pooled_standin=cfg.allow_pooled_standin,
     )
     sample_shape = bundle.sample_shape
     seq_len = bundle.seq_len
@@ -127,30 +131,6 @@ def main(argv: Optional[list[str]] = None) -> None:
 
     denoise_fn = bundle.denoise_fn
 
-    # ---- optimizers (recipe: README.md:157-178) ----
-    n_total_steps = cfg.max_train_steps or 10001
-    lr = topt.make_lr_schedule(
-        cfg.lr_scheduler,
-        cfg.effective_lr(n_data_ranks),
-        warmup_steps=cfg.lr_warmup_steps,
-        total_steps=n_total_steps,
-    )
-    # --gradient_accumulation_steps: optax.MultiSteps inside the jitted step
-    # (the accelerator.accumulate equivalent, src/main.py:94,441) — grads
-    # average over `accum` micro-steps, the optimizer fires on the last
-    accum = max(cfg.gradient_accumulation_steps, 1)
-
-    def make_tx():
-        # --use_8bit_adam → blockwise-int8 moments (bitsandbytes parity)
-        return topt.make_optimizer(
-            lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
-            weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
-            eight_bit=cfg.use_8bit_adam, accumulation_steps=accum,
-        )
-
-    tx_s = make_tx()
-    tx_c = make_tx()
-
     # ---- data: prompts → embedding batches. get_batch() → (text, mask,
     # pooled-or-None); pooled rides SD3-style caches (CLIP-L/G vectors) ----
     uncond_pair = None  # (embed [L,D], mask [L]) — empty-prompt embedding
@@ -166,6 +146,15 @@ def main(argv: Optional[list[str]] = None) -> None:
         def get_batch():
             b = next(batches)
             return b if len(b) == 3 else (*b, None)
+
+        dataset_size = len(cache.prompts)
+
+        def val_rows_fn():
+            # dedicated validation rows (build_cache --validation_prompts);
+            # raises with a rebuild hint when the cache predates them —
+            # grids must render the SAME fixed prompts every cadence
+            # (src/main.py:416-431), never arbitrary dataset rows
+            return cache.validation_rows(cfg.validation_prompts)
 
         if cache.uncond_embed is not None:
             uncond_pair = (
@@ -198,12 +187,17 @@ def main(argv: Optional[list[str]] = None) -> None:
                     "native loader: %d prompts from %s",
                     batcher.num_prompts, src,
                 )
-        if batcher is None:
+        dataset_size = None
+        if batcher is not None:
+            dataset_size = batcher.num_prompts
+        else:
             prompt_list = data_prompts.load_prompts(
                 src or list(cfg.validation_prompts) * 8,
                 caption_column=cfg.caption_column,
                 max_samples=cfg.max_train_samples,
+                dataset_config_name=cfg.dataset_config_name,
             )
+            dataset_size = len(prompt_list)
             batcher = iter(
                 data_prompts.PromptBatcher(
                     prompt_list, local_batch, tokenizer=tok,
@@ -220,10 +214,54 @@ def main(argv: Optional[list[str]] = None) -> None:
             b = next(batcher)
             return proj[b["input_ids"]], b["attention_mask"], None
 
+        def val_rows_fn():
+            # smoke mode: the SAME hash-projection path as training, applied
+            # to the actual --validation_prompts (deterministic per prompt)
+            ids, m = tok(list(cfg.validation_prompts), max_length=seq_len)
+            return proj[np.asarray(ids)], np.asarray(m), None
+
         logger.warning(
             "no TDM_EMBEDDING_CACHE — using hash pseudo-embeddings "
             "(smoke mode; build a T5 cache for real training)"
         )
+
+    # ---- optimizers (recipe: README.md:157-178) ----
+    # --gradient_accumulation_steps: optax.MultiSteps inside the jitted step
+    # (the accelerator.accumulate equivalent, src/main.py:94,441) — grads
+    # average over `accum` micro-steps, the optimizer fires on the last
+    accum = max(cfg.gradient_accumulation_steps, 1)
+    if cfg.max_train_steps and cfg.max_train_steps > 0:
+        n_total_steps = cfg.max_train_steps
+    else:
+        # --max_train_steps 0/negative → epoch accounting, the reference's
+        # max_train_steps-from-num_train_epochs derivation: optimizer steps
+        # = epochs x ceil(batches_per_epoch / accum)
+        batches_per_epoch = max(dataset_size // global_batch, 1)
+        steps_per_epoch = max(-(-batches_per_epoch // accum), 1)
+        n_total_steps = cfg.num_train_epochs * steps_per_epoch
+        logger.info(
+            "epoch accounting: %d prompts / global batch %d → %d optimizer "
+            "steps/epoch x %d epochs = %d steps",
+            dataset_size, global_batch, steps_per_epoch,
+            cfg.num_train_epochs, n_total_steps,
+        )
+    lr = topt.make_lr_schedule(
+        cfg.lr_scheduler,
+        cfg.effective_lr(n_data_ranks),
+        warmup_steps=cfg.lr_warmup_steps,
+        total_steps=n_total_steps,
+    )
+
+    def make_tx():
+        # --use_8bit_adam → blockwise-int8 moments (bitsandbytes parity)
+        return topt.make_optimizer(
+            lr, betas=(cfg.adam_beta1, cfg.adam_beta2), eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay, max_grad_norm=cfg.max_grad_norm,
+            eight_bit=cfg.use_8bit_adam, accumulation_steps=accum,
+        )
+
+    tx_s = make_tx()
+    tx_c = make_tx()
 
     # ---- the jitted TDM step ----
     tdm_cfg = tdm.TDMConfig(
@@ -299,21 +337,28 @@ def main(argv: Optional[list[str]] = None) -> None:
     )
     timer = log_lib.StepTimer()
 
-    # fixed validation inputs (prompts src/main.py:424-429, noise key 42)
-    n_val = len(cfg.validation_prompts)
-    val_noise = jax.random.normal(
-        jax.random.PRNGKey(42), (n_val, *sample_shape), jnp.float32
-    )
-    val_text, val_mask, val_pooled = get_batch()
-    val_cond = bundle.cond_of(
-        jnp.asarray(val_text[:n_val]),
-        jnp.asarray(val_mask[:n_val], jnp.int32),
-        None if val_pooled is None else jnp.asarray(val_pooled[:n_val]),
-    )
-
+    # fixed validation inputs: the SAME --validation_prompts every cadence
+    # (reference prompts src/main.py:424-429, noise key 42). Embeddings come
+    # from the cache's dedicated validation rows (build_cache embeds them —
+    # a cache without them errors with a rebuild hint) or, in smoke mode,
+    # the hash-projection of the actual validation prompts. Only built when
+    # grids will actually render (TDM_TAESD_DIR + image family).
     decode_fn = None
+    val_cond = val_noise = None
     vae_dir = os.environ.get("TDM_TAESD_DIR", "")
-    if vae_dir and len(sample_shape) == 3:
+    validation_active = bool(vae_dir) and len(sample_shape) == 3
+    if validation_active:
+        n_val = len(cfg.validation_prompts)
+        val_noise = jax.random.normal(
+            jax.random.PRNGKey(42), (n_val, *sample_shape), jnp.float32
+        )
+        val_text, val_mask, val_pooled = val_rows_fn()
+        val_cond = bundle.cond_of(
+            jnp.asarray(val_text, jnp.float32),
+            jnp.asarray(val_mask, jnp.int32),
+            None if val_pooled is None else jnp.asarray(val_pooled),
+        )
+    if validation_active:
         # TAESD decode for validation grids (src/main.py:166) — image
         # families only (TAESD3 for 16-ch SD3 latents); video validation
         # exports GIFs via the 3D-VAE pipeline path instead
@@ -374,7 +419,12 @@ def main(argv: Optional[list[str]] = None) -> None:
                     mask_np.shape,
                 ))
             else:
-                u_text, u_mask = np.zeros_like(text_np), mask_np
+                # smoke mode: zero embeds under a constant ALL-ONES mask —
+                # capturing this batch's mask would freeze arbitrary
+                # per-batch padding as the uncond mask for the whole run
+                # (hash-tokenizer masks vary per batch)
+                u_text = np.zeros_like(text_np)
+                u_mask = np.ones_like(mask_np)
             if uncond_pooled is not None:
                 u_pooled = np.ascontiguousarray(np.broadcast_to(
                     uncond_pooled[None],
@@ -479,6 +529,20 @@ def main(argv: Optional[list[str]] = None) -> None:
                 prefix="lora_transformer",
             )
         logger.info("exported student.safetensors (+ tdm_lora.safetensors)")
+        if cfg.push_to_hub:
+            # reference: create_repo + upload_folder gated on the flag
+            # (src/main.py:36,125-128); repo id defaults to the output dir
+            # basename like the reference's Path(output_dir).name
+            from tdm_tpu.io import hub as hub_io
+
+            repo_id = cfg.hub_model_id or os.path.basename(
+                os.path.normpath(out_dir)
+            )
+            url = hub_io.push_to_hub(
+                out_dir, repo_id, token=cfg.hub_token,
+                commit_message=f"tdm_tpu checkpoint (step {global_step})",
+            )
+            logger.info("pushed %s to hub: %s", out_dir, url)
     metrics_log.close()
     logger.info("done at step %d", global_step)
 

@@ -30,9 +30,12 @@ def load_prompts(
     *,
     caption_column: str = "prompt",
     max_samples: Optional[int] = None,
+    dataset_config_name: Optional[str] = None,
 ) -> list[str]:
     """→ list of prompt strings from any supported source (reference
-    caption-column logic `src/main.py:253-261`)."""
+    caption-column logic `src/main.py:253-261`). `dataset_config_name`
+    selects the HF dataset config (reference passes it to load_dataset,
+    `src/main.py:231-238`); ignored for file/list sources."""
     if isinstance(source, (list, tuple)):
         prompts = [str(p) for p in source]
     elif os.path.isfile(source) and source.endswith(".txt"):
@@ -50,7 +53,7 @@ def load_prompts(
         # (JourneyDB, src/args.py:42-47)
         import datasets  # lazy: heavy import
 
-        ds = datasets.load_dataset(source, split="train")
+        ds = datasets.load_dataset(source, dataset_config_name, split="train")
         if caption_column not in ds.column_names:
             raise ValueError(
                 f"caption column {caption_column!r} not in {ds.column_names}"
@@ -127,6 +130,10 @@ class EmbeddingCache:
         uncond_mask: Optional[np.ndarray] = None,
         pooled: Optional[np.ndarray] = None,
         uncond_pooled: Optional[np.ndarray] = None,
+        val_prompts: Optional[list[str]] = None,
+        val_embeds: Optional[np.ndarray] = None,
+        val_masks: Optional[np.ndarray] = None,
+        val_pooled: Optional[np.ndarray] = None,
     ):
         self.embeds = embeds  # [N, L, D] (fp16/bf16-as-fp32 on disk)
         self.masks = masks  # [N, L]
@@ -137,29 +144,49 @@ class EmbeddingCache:
         self.uncond_mask = uncond_mask  # [L] or None
         self.pooled = pooled  # [N, P] or None (SD3 pooled CLIP)
         self.uncond_pooled = uncond_pooled  # [P] or None
+        # dedicated validation-prompt rows (the reference renders the SAME
+        # fixed prompts every cadence, src/main.py:416-431 — these keys let
+        # the train CLI look them up instead of borrowing dataset rows)
+        self.val_prompts = list(val_prompts) if val_prompts else []
+        self.val_embeds = val_embeds  # [V, L, D] or None
+        self.val_masks = val_masks  # [V, L] or None
+        self.val_pooled = val_pooled  # [V, P] or None
 
     @staticmethod
     def build(
         prompts: Sequence[str], tokenizer, encode_fn, *, max_length: int = 120,
-        batch_size: int = 32,
+        batch_size: int = 32, val_prompts: Optional[Sequence[str]] = None,
     ) -> "EmbeddingCache":
         """encode_fn(ids [B,L], mask [B,L]) → embeds [B,L,D] (jit-wrapped
-        T5 forward)."""
-        embeds, masks = [], []
+        T5 forward). `val_prompts` are additionally embedded under dedicated
+        validation keys (see validation_rows)."""
+
+        def enc_chunked(plist):
+            es, ms = [], []
+            for i in range(0, len(plist), batch_size):
+                chunk = plist[i : i + batch_size]
+                pad = batch_size - len(chunk)  # keep a single compiled shape
+                ids, mask = tokenizer(
+                    chunk + [""] * pad, max_length=max_length
+                )
+                e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
+                es.append(e[: len(chunk)].astype(np.float16))
+                ms.append(np.asarray(mask)[: len(chunk)])
+            return np.concatenate(es), np.concatenate(ms)
+
         prompts = list(prompts)
-        for i in range(0, len(prompts), batch_size):
-            chunk = prompts[i : i + batch_size]
-            pad = batch_size - len(chunk)  # keep a single compiled shape
-            ids, mask = tokenizer(chunk + [""] * pad, max_length=max_length)
-            e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
-            embeds.append(e[: len(chunk)].astype(np.float16))
-            masks.append(np.asarray(mask)[: len(chunk)])
+        embeds, masks = enc_chunked(prompts)
         u_ids, u_mask = tokenizer([""] * batch_size, max_length=max_length)
         u = np.asarray(encode_fn(np.asarray(u_ids), np.asarray(u_mask)))
+        val_prompts = list(val_prompts or [])
+        v_e = v_m = None
+        if val_prompts:
+            v_e, v_m = enc_chunked(val_prompts)
         return EmbeddingCache(
-            np.concatenate(embeds), np.concatenate(masks), prompts,
+            embeds, masks, prompts,
             uncond_embed=u[0].astype(np.float16),
             uncond_mask=np.asarray(u_mask)[0],
+            val_prompts=val_prompts, val_embeds=v_e, val_masks=v_m,
         )
 
     def save(self, path: str) -> None:
@@ -173,6 +200,12 @@ class EmbeddingCache:
             extra["pooled"] = self.pooled
             if self.uncond_pooled is not None:
                 extra["uncond_pooled"] = self.uncond_pooled
+        if self.val_prompts:
+            extra["val_prompts"] = np.asarray(self.val_prompts, dtype=object)
+            extra["val_embeds"] = self.val_embeds
+            extra["val_masks"] = self.val_masks
+            if self.val_pooled is not None:
+                extra["val_pooled"] = self.val_pooled
         np.savez_compressed(
             path, embeds=self.embeds, masks=self.masks,
             prompts=np.asarray(self.prompts, dtype=object), **extra,
@@ -189,6 +222,58 @@ class EmbeddingCache:
             uncond_pooled=(
                 z["uncond_pooled"] if "uncond_pooled" in z else None
             ),
+            val_prompts=(
+                list(z["val_prompts"]) if "val_prompts" in z else None
+            ),
+            val_embeds=z["val_embeds"] if "val_embeds" in z else None,
+            val_masks=z["val_masks"] if "val_masks" in z else None,
+            val_pooled=z["val_pooled"] if "val_pooled" in z else None,
+        )
+
+    def validation_rows(
+        self, prompts: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Look up `prompts` (the --validation_prompts) → (embeds [V,L,D]
+        f32, masks [V,L], pooled [V,P] or None). Dedicated validation rows
+        are consulted first, then the main prompt rows; missing prompts
+        raise with a rebuild hint — validation grids must render the SAME
+        fixed prompts every cadence (reference src/main.py:416-431), never
+        arbitrary dataset rows."""
+        e_rows, m_rows, p_rows = [], [], []
+        has_pooled = self.pooled is not None or self.val_pooled is not None
+        missing = []
+        for p in prompts:
+            if p in self.val_prompts:
+                i = self.val_prompts.index(p)
+                e_rows.append(self.val_embeds[i])
+                m_rows.append(self.val_masks[i])
+                if has_pooled:
+                    p_rows.append(
+                        self.val_pooled[i] if self.val_pooled is not None
+                        else None
+                    )
+            elif p in self.prompts:
+                i = self.prompts.index(p)
+                e_rows.append(self.embeds[i])
+                m_rows.append(self.masks[i])
+                if has_pooled:
+                    p_rows.append(
+                        self.pooled[i] if self.pooled is not None else None
+                    )
+            else:
+                missing.append(p)
+        if missing:
+            raise KeyError(
+                f"validation prompts {missing!r} not in the embedding cache "
+                "— rebuild it with cli/build_cache (it embeds "
+                "--validation_prompts under dedicated keys)"
+            )
+        if has_pooled and any(r is None for r in p_rows):
+            has_pooled = False  # mixed provenance without pooled rows
+        return (
+            np.stack(e_rows).astype(np.float32),
+            np.stack(m_rows).astype(np.int32),
+            np.stack(p_rows).astype(np.float32) if has_pooled else None,
         )
 
     def batches(

@@ -121,6 +121,27 @@ def make_cond_fn(
         try:
             i = cache.prompts.index(prompt)
         except ValueError:
+            # the empty prompt is the CFG unconditional branch: build_cache
+            # stores it in the dedicated uncond_* fields, not as a prompt
+            # row — consult those before declaring the prompt unknown
+            # (mirrors cli/generate.py's uncond handling)
+            if prompt == "" and cache.uncond_embed is not None:
+                e = cache.uncond_embed[None].astype(np.float32)
+                m = (
+                    cache.uncond_mask[None].astype(np.int32)
+                    if cache.uncond_mask is not None
+                    else np.ones(e.shape[:2], np.int32)
+                )
+                if fam == "cogvideox":
+                    return e
+                if fam == "sd3":
+                    if cache.uncond_pooled is None:
+                        raise ValueError(
+                            "SD3 needs a pooled-carrying cache "
+                            "(build_cache --pipeline <sd3 dir>)"
+                        )
+                    return (e, cache.uncond_pooled[None].astype(np.float32))
+                return (e, m)
             raise KeyError(
                 f"prompt {prompt!r} not in the embedding cache — rebuild "
                 "with cli/build_cache"
@@ -173,9 +194,19 @@ class ServeStats:
 
     def as_dict(self) -> dict:
         d = dict(self.__dict__)
-        d["batches_by_shape"] = {
-            str(k): v for k, v in sorted(self.batches_by_shape.items())
-        }
+        # the resolver thread inserts new shape keys concurrently — iterating
+        # a growing dict can raise "dictionary changed size during iteration"
+        # (a /stats racing the first batch at a new bucket shape would 500);
+        # counters are approximate by design, so snapshot-with-retry suffices
+        for _ in range(8):
+            try:
+                shapes = list(self.batches_by_shape.items())
+                break
+            except RuntimeError:
+                continue
+        else:  # pragma: no cover - 8 consecutive mutations mid-copy
+            shapes = []
+        d["batches_by_shape"] = {str(k): v for k, v in sorted(shapes)}
         d["mean_fill"] = (
             round(self.requests / max(1, self.batches), 3)
             if self.batches
@@ -317,6 +348,20 @@ class MicroBatcher:
             raise Overloaded(
                 f"pending queue full ({self._q.maxsize} requests) — retry"
             ) from None
+        # close() race: we can pass the _closed check above, then close()
+        # runs and the worker finishes its drain loop BEFORE our put lands —
+        # the orphaned future would block its client for the full request
+        # timeout. If the worker is already gone, drain-and-fail here (this
+        # may also resolve other stragglers; set_exception is idempotent-safe
+        # via the done() guard).
+        if self._closed.is_set() and not self._worker.is_alive():
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None and not item.future.done():
+                    item.future.set_exception(RuntimeError("batcher closed"))
         return pend.future
 
     def generate(

@@ -127,13 +127,24 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
                 arr = fut.result(timeout=request_timeout_s)
                 out = _encode_image(arr)
                 out["seed"] = seed
-                self._json(200, out)
             except Overloaded as e:
                 self._json(429, {"error": str(e), "retry": True})
+                return
             except KeyError as e:
                 self._json(400, {"error": str(e)})
+                return
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away mid-read; nothing to answer
             except Exception as e:  # keep the daemon alive on bad requests
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                # success write OUTSIDE the catch-all: a disconnect mid-write
+                # must not trigger a second status line on the half-written
+                # response (the old shape sent 500 after a partial 200)
+                self._json(200, out)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
 
     return Handler
 

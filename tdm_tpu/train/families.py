@@ -49,13 +49,22 @@ def build(
     tiny: bool = False,
     resolution: int = 512,
     gradient_checkpointing: bool = False,
+    mixed_precision: Optional[str] = None,
+    allow_pooled_standin: bool = False,
 ) -> FamilyBundle:
     """Construct the training bundle for `--model_family`.
 
     `resolution` is the pixel resolution (latent = resolution // 8) for the
     image families; CogVideoX uses its fixed 49-frame 480×720 geometry
     (`README.md:116-138`). `tiny` swaps in the smoke-test configs
-    (TDM_TINY_MODEL=1)."""
+    (TDM_TINY_MODEL=1). `mixed_precision` maps the reference's flag onto
+    the denoiser's COMPUTE dtype (`src/main.py:330-338`): 'bf16' →
+    bfloat16 (except tiny smoke configs, which stay f32 for the CPU test
+    harness), 'no'/'fp32' → float32, 'fp16' → error (no TPU fp16; bf16 is
+    the MXU-native equivalent), None → the config's own default.
+    `allow_pooled_standin` opts an SD3 run into the masked-mean pooled
+    stand-in when the batch carries no real CLIP pooled vectors (always
+    allowed in tiny smoke mode)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +76,27 @@ def build(
         )
     lat = 8 if tiny else max(resolution // 8, 8)
 
+    def apply_mp(mcfg):
+        if mixed_precision is None:
+            return mcfg
+        if mixed_precision == "fp16":
+            raise ValueError(
+                "--mixed_precision fp16 is not supported on TPU — use bf16 "
+                "(the MXU-native mixed precision fp16 recipes map to)"
+            )
+        if mixed_precision in ("no", "fp32"):
+            return dataclasses.replace(mcfg, dtype=jnp.float32)
+        if mixed_precision == "bf16":
+            # tiny smoke configs keep their f32 default (CPU harness);
+            # full-size configs compute in bf16
+            return mcfg if tiny else dataclasses.replace(
+                mcfg, dtype=jnp.bfloat16
+            )
+        raise ValueError(
+            f"unknown --mixed_precision {mixed_precision!r} "
+            "(choose bf16 / no / fp32)"
+        )
+
     if family == "pixart":
         from tdm_tpu.io import convert
         from tdm_tpu.models import pixart
@@ -76,6 +106,7 @@ def build(
             mcfg = dataclasses.replace(mcfg, sample_size=lat)
         if gradient_checkpointing:
             mcfg = dataclasses.replace(mcfg, remat=True)
+        mcfg = apply_mp(mcfg)
         model = pixart.PixArtTransformer2D(cfg=mcfg)
         shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
 
@@ -115,6 +146,7 @@ def build(
         mcfg = unet_sd15.UNetConfig.tiny() if tiny else unet_sd15.UNetConfig()
         if gradient_checkpointing:
             mcfg = dataclasses.replace(mcfg, remat=True)
+        mcfg = apply_mp(mcfg)
         model = unet_sd15.UNet2DCondition(cfg=mcfg)
         shape = (mcfg.in_channels, lat, lat)
 
@@ -155,6 +187,7 @@ def build(
             mcfg = dataclasses.replace(mcfg, sample_size=lat)
         if gradient_checkpointing:
             mcfg = dataclasses.replace(mcfg, remat=True)
+        mcfg = apply_mp(mcfg)
         model = mmdit_sd3.SD3Transformer2D(cfg=mcfg)
         shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
         # SD3-Medium trains under a shifted rectified-flow schedule
@@ -169,9 +202,19 @@ def build(
         def _pooled_of(text, mask):
             # deterministic pooled stand-in folded from the token stream:
             # masked mean, tiled/truncated to pooled_dim. A real SD3 run
-            # supplies CLIP-L/G pooled vectors (pipelines/sd3.py does); the
-            # training cache is T5-only, so this keeps the cond pytree
-            # complete and deterministic per prompt.
+            # supplies CLIP-L/G pooled vectors (pipelines/sd3.py does, and
+            # `build_cache --pipeline <sd3 dir>` caches them); the stand-in
+            # is FABRICATED conditioning, so full-size runs must opt in
+            # explicitly — silently training a real SD3 on it would be a
+            # quality bug (SD3's triple-encoder design, README.md:48).
+            if not (tiny or allow_pooled_standin):
+                raise ValueError(
+                    "sd3 training got no pooled CLIP-L/G vectors — build "
+                    "the cache with `build_cache --pipeline <sd3 dir>` (it "
+                    "stores the real pooled path), or pass "
+                    "--allow_pooled_standin to knowingly train on the "
+                    "masked-mean T5 stand-in"
+                )
             m = mask.astype(text.dtype)[..., None]
             mean = (text * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
             reps = -(-mcfg.pooled_dim // mean.shape[-1])  # ceil
@@ -214,6 +257,7 @@ def build(
     mcfg = cog.CogVideoXConfig.tiny() if tiny else cog.CogVideoXConfig()
     if gradient_checkpointing:
         mcfg = dataclasses.replace(mcfg, remat=True)
+    mcfg = apply_mp(mcfg)
     model = cog.CogVideoXTransformer3D(cfg=mcfg)
     shape = (mcfg.in_channels, mcfg.sample_frames, mcfg.sample_h, mcfg.sample_w)
     # v-prediction, SNR-shifted, ZERO terminal SNR — raw v output passed

@@ -41,6 +41,10 @@ class TrainConfig:
     output_dir: str = "tdm-output"
     seed: Optional[int] = None
     train_batch_size: int = 4
+    # epoch accounting kicks in when --max_train_steps is 0/negative (the
+    # argparse stand-in for the reference's None): total optimizer steps =
+    # num_train_epochs x ceil(batches_per_epoch / accum), matching
+    # src/main.py's max_train_steps derivation
     num_train_epochs: int = 100
     max_train_steps: Optional[int] = 10001
     gradient_accumulation_steps: int = 1
@@ -62,7 +66,10 @@ class TrainConfig:
     non_ema_revision: Optional[str] = None
 
     # precision / memory (src/args.py:232-242,277-279)
-    mixed_precision: Optional[str] = "bf16"  # fp16 recipes run bf16 on TPU
+    # maps to the denoiser's COMPUTE dtype (reference src/main.py:330-338):
+    # 'bf16' = MXU-native mixed precision (default), 'no'/'fp32' = full
+    # fp32 compute, 'fp16' = rejected at parse (no TPU fp16 — use bf16)
+    mixed_precision: Optional[str] = "bf16"
     enable_xformers_memory_efficient_attention: bool = False  # → Pallas flash
     allow_tf32: bool = False  # no-op on TPU (MXU bf16 is the native fast path)
     dataloader_num_workers: int = 0
@@ -132,6 +139,12 @@ class TrainConfig:
     # teacher probe, frozen-critic probe) through dynamic int8 MXU matmuls
     # (ops/quant.py); gradient paths stay bf16
     quant_forwards: bool = False
+    # SD3 only: opt into the masked-mean pooled-conditioning stand-in when
+    # the batch carries no real CLIP-L/G pooled vectors. Without this flag
+    # a full-size sd3 run on a pooled-less cache ERRORS instead of silently
+    # training on fabricated conditioning (tiny smoke mode is always
+    # allowed — train/families.py)
+    allow_pooled_standin: bool = False
     # rank for the final kohya-LoRA artifact extracted from the trained
     # delta (0 = skip; released TDM artifacts are LoRA, README.md:140-144)
     export_lora_rank: int = 32
@@ -214,6 +227,12 @@ def parse_args(argv: Optional[list[str]] = None) -> TrainConfig:
     # dataset sanity check (src/args.py:336-337)
     if cfg.dataset_name is None and cfg.train_data_dir is None:
         raise ValueError("Need either a dataset name or a training folder.")
+    if cfg.mixed_precision not in (None, "no", "fp32", "bf16"):
+        raise ValueError(
+            f"--mixed_precision {cfg.mixed_precision!r} is not supported on "
+            "TPU — use 'bf16' (MXU-native; what fp16 recipes should run as) "
+            "or 'no'/'fp32'"
+        )
     return cfg
 
 

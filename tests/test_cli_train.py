@@ -204,3 +204,89 @@ def test_train_cli_model_family_rejects_unknown():
 
     with pytest.raises(ValueError, match="model_family"):
         families.build("sdxl")
+
+
+def test_train_cli_epoch_accounting(tmp_path, monkeypatch):
+    """--max_train_steps 0 → total steps derived from --num_train_epochs x
+    steps/epoch (the reference's max_train_steps-from-epochs derivation):
+    4 prompts / global batch 2 = 2 steps/epoch, x2 epochs = 4 steps."""
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a cat\na dog\na panda\na pikachu\n")
+    out = str(tmp_path / "ep")
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", str(prompts),
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "0",
+        "--num_train_epochs", "2",
+        "--checkpointing_steps", "100",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+        "--max_devices", "1",
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint")]
+    # only the final save fires (cadence 100 > 4 steps) — at exactly step 4
+    assert any(d.rstrip("/").endswith("4") for d in ckpts), ckpts
+
+
+def test_train_cli_push_to_hub(tmp_path, monkeypatch):
+    """--push_to_hub uploads the artifact dir after export (reference
+    src/main.py:36,125-128), with repo id defaulting to the out-dir name."""
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.io import hub as hub_io
+
+    calls = {}
+
+    def fake_push(folder, repo_id, *, token=None, **kw):
+        calls["folder"], calls["repo_id"], calls["token"] = (
+            folder, repo_id, token,
+        )
+        return f"https://hub/{repo_id}"
+
+    monkeypatch.setattr(hub_io, "push_to_hub", fake_push)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "hubrun")
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "1",
+        "--checkpointing_steps", "5",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+        "--max_devices", "1",
+        "--push_to_hub",
+        "--hub_token", "tok123",
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    assert calls["folder"] == out_dir
+    assert calls["repo_id"] == os.path.basename(out_dir)
+    assert calls["token"] == "tok123"
+    # the uploaded folder really contains the exported artifact
+    assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
+
+
+def test_mixed_precision_rejected_and_parsed():
+    """fp16 is rejected at parse with a bf16 pointer; bf16/no parse."""
+    import pytest
+
+    from tdm_tpu.utils.config import parse_args
+
+    with pytest.raises(ValueError, match="bf16"):
+        parse_args(["--mixed_precision", "fp16"])
+    assert parse_args(["--mixed_precision", "no"]).mixed_precision == "no"
+    assert parse_args([]).mixed_precision == "bf16"

@@ -183,3 +183,68 @@ def test_cogvideox_encode_prompt():
         seed=8888, output_type="latent",
     )
     assert out.latents.shape == lat.shape
+
+
+def test_embedding_cache_validation_rows(tmp_path):
+    """Dedicated validation rows (build_cache --validation_prompts):
+    looked up by prompt, surviving save/load, falling back to main rows,
+    erroring with a rebuild hint when absent — the fixed-prompt grid
+    methodology of the reference (src/main.py:416-431)."""
+    import pytest
+
+    prompts = [f"p{i}" for i in range(6)]
+    val_prompts = ["a photo of a cat", "p2"]  # p2 is ALSO a training row
+    tok = HashTokenizer(vocab_size=50)
+    table = np.random.default_rng(1).normal(size=(50, 16)).astype(np.float32)
+
+    def encode(ids, mask):
+        return table[ids] * mask[..., None]
+
+    cache = EmbeddingCache.build(
+        prompts, tok, encode, max_length=8, batch_size=4,
+        val_prompts=["a photo of a cat"],
+    )
+    f = str(tmp_path / "cache.npz")
+    cache.save(f)
+    back = EmbeddingCache.load(f)
+    assert back.val_prompts == ["a photo of a cat"]
+
+    e, m, p = back.validation_rows(val_prompts)
+    assert e.shape == (2, 8, 16) and m.shape == (2, 8) and p is None
+    # the dedicated row matches a direct encode of the same prompt
+    ids, mask = tok(["a photo of a cat"], max_length=8)
+    np.testing.assert_allclose(
+        e[0], encode(np.asarray(ids), np.asarray(mask))[0], rtol=1e-3
+    )
+    # the fallback row is the main-table row for p2
+    np.testing.assert_allclose(e[1], back.embeds[2].astype(np.float32))
+
+    with pytest.raises(KeyError, match="rebuild"):
+        back.validation_rows(["never embedded"])
+
+
+def test_load_prompts_dataset_config_name(monkeypatch):
+    """--dataset_config_name reaches datasets.load_dataset (reference
+    src/main.py:231-238)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _DS:
+        column_names = ["prompt"]
+
+        def __getitem__(self, k):
+            return ["a", "b"]
+
+    fake = types.ModuleType("datasets")
+
+    def load_dataset(name, config=None, split=None):
+        calls["args"] = (name, config, split)
+        return _DS()
+
+    fake.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+    out = load_prompts("org/some-dataset", dataset_config_name="cfgA")
+    assert out == ["a", "b"]
+    assert calls["args"] == ("org/some-dataset", "cfgA", "train")

@@ -151,3 +151,48 @@ def test_instruct_mode_rejects_non_epsilon_schedules():
             tdm.TDMConfig(loss_mode="instruct"),
             tx, tx, sample_shape=(1, 4, 4),
         )
+
+
+def test_mixed_precision_maps_to_compute_dtype():
+    """--mixed_precision drives the denoiser's compute dtype (reference
+    src/main.py:330-338): full-size bf16 default, 'no' → f32, fp16 →
+    error pointing at bf16; tiny smoke configs stay f32 (CPU harness)."""
+    b16 = families.build("pixart", tiny=False, mixed_precision="bf16")
+    assert b16.model.cfg.dtype == jnp.bfloat16
+    f32 = families.build("pixart", tiny=False, mixed_precision="no")
+    assert f32.model.cfg.dtype == jnp.float32
+    tiny = families.build("pixart", tiny=True, mixed_precision="bf16")
+    assert tiny.model.cfg.dtype == jnp.float32
+    with pytest.raises(ValueError, match="bf16"):
+        families.build("pixart", tiny=False, mixed_precision="fp16")
+    # the dtype actually changes activations, not just config metadata
+    params = tiny.init_params(jax.random.PRNGKey(0))
+    sd3_no = families.build("sd3", tiny=False, mixed_precision="no")
+    sd3_b16 = families.build("sd3", tiny=False, mixed_precision="bf16")
+    assert sd3_no.model.cfg.dtype != sd3_b16.model.cfg.dtype
+    del params
+
+
+def test_sd3_pooled_standin_guard():
+    """A full-size sd3 bundle REFUSES to fabricate pooled conditioning
+    unless --allow_pooled_standin; tiny smoke mode is always allowed;
+    real pooled vectors pass through untouched (SD3's triple-encoder
+    conditioning, reference README.md:48)."""
+    text = jnp.zeros((2, 8, 16))
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    full = families.build("sd3", tiny=False)
+    with pytest.raises(ValueError, match="allow_pooled_standin"):
+        full.cond_of(text, mask, None)
+
+    opted = families.build("sd3", tiny=False, allow_pooled_standin=True)
+    ctx, pooled = opted.cond_of(text, mask, None)
+    assert pooled.shape == (2, opted.model.cfg.pooled_dim)
+
+    tiny = families.build("sd3", tiny=True)
+    ctx, pooled = tiny.cond_of(text, mask, None)
+    assert pooled.shape == (2, tiny.model.cfg.pooled_dim)
+
+    real = jnp.ones((2, full.model.cfg.pooled_dim))
+    ctx, pooled = full.cond_of(text, mask, real)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(real))

@@ -413,3 +413,52 @@ def test_http_server_end_to_end(pipe):
         assert stats["requests"] >= 2
     finally:
         server.close()
+
+
+def test_cache_served_cfg_uses_uncond_fields(tmp_path):
+    """CFG serving from an embedding cache: the empty prompt (server-wide
+    negative default) resolves to the cache's dedicated uncond_* fields
+    (built by build_cache exactly for this) instead of raising KeyError at
+    MicroBatcher startup — advisor round-2 medium finding."""
+    from tdm_tpu.data.prompts import EmbeddingCache
+    from tdm_tpu.serve.batcher import make_cond_fn
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+        jnp.zeros((1, 8, cfg.caption_dim)), jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    bare = PixArtPipeline(model, params)  # NO text encoders, NO vae
+
+    rng = np.random.default_rng(3)
+    u_embed = rng.normal(size=(8, cfg.caption_dim)).astype(np.float16)
+    cache = EmbeddingCache(
+        rng.normal(size=(2, 8, cfg.caption_dim)).astype(np.float16),
+        np.ones((2, 8), np.int64),
+        ["a cat", "a dog"],
+        uncond_embed=u_embed,
+        uncond_mask=np.ones((8,), np.int64),
+    )
+    f = str(tmp_path / "c.npz")
+    cache.save(f)
+
+    fn = make_cond_fn(bare, f)
+    e, m = fn("")  # previously: KeyError("prompt '' not in the cache")
+    np.testing.assert_allclose(e[0], u_embed.astype(np.float32), rtol=1e-3)
+    assert m.shape == (1, 8)
+    with pytest.raises(KeyError, match="not in the embedding cache"):
+        fn("never cached")
+
+    # the original failure mode: guidance_scale > 1 at construction
+    mb = MicroBatcher(
+        bare, batch_size=2, embedding_cache=f,
+        call_kwargs=dict(
+            num_inference_steps=1, height=128, width=128, guidance_scale=3.0
+        ),
+    )
+    try:
+        out = mb.generate("a cat", seed=1, timeout=300.0)
+        assert np.all(np.isfinite(np.asarray(out)))
+    finally:
+        mb.close()

@@ -382,13 +382,22 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
     }
 
 
-def _device_preflight(timeout_s: float = 240.0) -> None:
-    """Fail fast if device init would hang (down axon tunnel): enumerate
-    devices in a THROWAWAY subprocess with a hard timeout — an in-process
-    probe couldn't be cancelled. Costs ~2 s against a healthy backend."""
+def _device_preflight(
+    probe_timeout_s: float = 90.0, budget_s: float = 480.0
+) -> None:
+    """Fail fast if device init would hang (down axon tunnel) — but ride
+    out a TRANSIENT blip: probe device enumeration in a THROWAWAY
+    subprocess (an in-process probe couldn't be cancelled), retrying with
+    backoff inside a hard wall-clock budget. A healthy backend passes the
+    first probe in ~2 s; a dead tunnel costs `budget_s` then exits 3
+    (round 2 lost its only perf artifact to a one-shot 240 s probe during
+    an outage — the retry loop makes a blip survivable while still never
+    hanging the harness). Budget overridable via TDM_BENCH_PREFLIGHT_S."""
     import subprocess
     import sys
+    import time
 
+    budget_s = float(os.environ.get("TDM_BENCH_PREFLIGHT_S", budget_s))
     probe = (
         # honor JAX_PLATFORMS in the probe exactly like the CLIs do
         # (sitecustomize SETS jax_platforms in config, which beats the env
@@ -396,26 +405,49 @@ def _device_preflight(timeout_s: float = 240.0) -> None:
         "from tdm_tpu.utils.config import apply_platform_env; "
         "apply_platform_env(); import jax; jax.devices()"
     )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", probe],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    backoff = 20.0
+    last_err = ""
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=min(probe_timeout_s, max(remaining, 5.0)),
+                check=True,
+                capture_output=True,
+            )
+            if attempt > 1:
+                print(
+                    f"bench: device init recovered on probe {attempt}",
+                    file=sys.stderr,
+                )
+            return
+        except subprocess.TimeoutExpired:
+            last_err = "device init timed out (TPU tunnel down?)"
+        except subprocess.CalledProcessError as e:
+            last_err = f"device init failed: {e.stderr.decode()[-500:]}"
+        remaining = deadline - time.monotonic()
+        if remaining <= 1.0:
+            break
+        wait = min(backoff, remaining)
         print(
-            f"bench: device init did not complete in {timeout_s:.0f}s — "
-            "TPU tunnel down? aborting instead of hanging",
+            f"bench: probe {attempt}: {last_err} — retrying in "
+            f"{wait:.0f}s ({remaining:.0f}s of budget left)",
             file=sys.stderr,
         )
-        raise SystemExit(3)
-    except subprocess.CalledProcessError as e:
-        print(
-            f"bench: device init failed: {e.stderr.decode()[-500:]}",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+        time.sleep(wait)
+        backoff = min(backoff * 2, 120.0)
+    print(
+        f"bench: {last_err} — no healthy device within the {budget_s:.0f}s "
+        "preflight budget; aborting instead of hanging",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 if __name__ == "__main__":

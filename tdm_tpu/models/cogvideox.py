@@ -232,6 +232,9 @@ class CogVideoXBlock(nn.Module):
                 q, k[:, :, s_txt:], v[:, :, s_txt:],
                 axis_name=c.sequence_parallel_axis,
                 prefix_kv=(k[:, :, :s_txt], v[:, :, :s_txt]),
+                # same impl selector as the monolithic path: flash hops on
+                # TPU at video sequence lengths, einsum hops on CPU/tiny
+                impl=c.attn_impl,
             )
         else:
             out = fused_attention(q, k, v, impl=c.attn_impl)

@@ -300,6 +300,10 @@ def _fwd_core(qs, k, v, bias, block_q, block_k, interpret, with_lse):
         if with_lse
         else functools.partial(_flash_fwd_kernel_nolse, scale=1.0)
     )
+    # under shard_map (ring-attention hops) out_shape must declare how the
+    # result varies over the manual mesh axes; outside shard_map vma is
+    # empty → None keeps the custom_partitioning path untouched
+    vma = getattr(jax.typeof(qs), "vma", frozenset()) or None
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -330,11 +334,11 @@ def _fwd_core(qs, k, v, bias, block_q, block_k, interpret, with_lse):
         out_specs=[out_spec, lse_spec] if with_lse else out_spec,
         out_shape=(
             [
-                jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype),
-                jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype, vma=vma),
+                jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32, vma=vma),
             ]
             if with_lse
-            else jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype)
+            else jax.ShapeDtypeStruct((b, h, sq_p, d_pad), qs.dtype, vma=vma)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
@@ -562,6 +566,9 @@ def _bwd_core(qs, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
             memory_space=pltpu.VMEM,
         )
 
+    # out_shape vma: see the forward core — required under shard_map hops
+    vma = getattr(jax.typeof(qs), "vma", frozenset()) or None
+
     # dq: grid (bh, q, k) — q-indexed blocks on i, k-indexed on j
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale),
@@ -580,7 +587,7 @@ def _bwd_core(qs, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
             spec_bh(block_q, 128),  # delta
         ],
         out_specs=spec_bh(block_q, d_pad),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_pad), q.dtype, vma=vma),
         scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         interpret=interpret,
     )(bias_p, qp, kp, vp, gp, lse, delta)
@@ -607,8 +614,8 @@ def _bwd_core(qs, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
             spec_bh(block_k, d_pad),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), k.dtype, vma=vma),
+            jax.ShapeDtypeStruct((b, h, sk_p, d_pad), v.dtype, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d_pad), jnp.float32),

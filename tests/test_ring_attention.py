@@ -113,3 +113,139 @@ def test_ring_gradients():
         np.testing.assert_allclose(
             np.asarray(ga), np.asarray(gb), atol=5e-5, rtol=5e-5
         )
+
+
+def _run_ring_flash(mesh, q, k, v, mask=None):
+    """Flash-kernel hops (interpret mode on CPU) — VERDICT r2 item 2: the
+    SP path must run the SAME Pallas kernel the monolithic path uses."""
+    in_specs = [P(None, None, "sp", None)] * 3
+    args = [q, k, v]
+    if mask is not None:
+        in_specs.append(P(None, "sp"))
+        args.append(mask)
+
+    fn = shard_map(
+        functools.partial(
+            lambda q, k, v, m=None: ring_attention(
+                q, k, v, axis_name="sp", key_mask=m,
+                impl="pallas", interpret=True,
+            )
+        ),
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, None, "sp", None),
+        # interpret-mode pallas re-evals kernels through the jax HLO
+        # interpreter, which rejects mixed-vma dynamic_slice; the compiled
+        # Mosaic path (real TPU) never takes that route
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+def test_ring_flash_matches_monolithic():
+    mesh = _mesh()
+    b, h, s, d = 2, 3, 8 * 16, 32
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    ref = attention(q, k, v, impl="xla")
+    out = jax.jit(lambda q, k, v: _run_ring_flash(mesh, q, k, v))(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ring_flash_ragged_mask_and_all_masked_rows():
+    mesh = _mesh()
+    b, h, s, d = 2, 2, 8 * 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys)
+    mask = np.ones((b, s), np.int32)
+    mask[0, 40:] = 0  # crosses shard boundaries
+    mask[1, :] = 0  # EVERY key masked: zero-output convention
+    mask = jnp.asarray(mask)
+    out = jax.jit(
+        lambda q, k, v, m: _run_ring_flash(mesh, q, k, v, m)
+    )(q, k, v, mask)
+    ref = attention(q[:1], k[:1], v[:1], mask[:1], impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5, rtol=2e-5
+    )
+    assert float(jnp.abs(out[1]).max()) == 0.0
+
+
+def test_ring_flash_gradients():
+    """The ring-of-flash-backward-kernels VJP reproduces monolithic grads:
+    dk/dv accumulators ride the rotation home, dq sums across hops."""
+    mesh = _mesh(4)
+    b, h, s, d = 1, 2, 4 * 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    g = _rand(keys[3], (b, h, s, d))
+    mask = np.ones((b, s), np.int32)
+    mask[0, 25:] = 0  # ragged: exercises the masked-hop backward too
+    mask = jnp.asarray(mask)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(_run_ring_flash(mesh, q, k, v, mask) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, mask, impl="xla") * g)
+
+    for ga, gb in zip(
+        jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v),
+        jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=5e-5, rtol=5e-5
+        )
+
+
+def test_ring_flash_prefix_matches_concat():
+    """Replicated-prefix seeding (CogVideoX text block) under flash hops:
+    forward AND all five grads (incl. the prefix K/V, psum'd by shard_map's
+    replicated-input transpose) match monolithic attention over the
+    concatenated [prefix; ring] keys."""
+    mesh = _mesh(4)
+    b, h, s, d, s_p = 1, 2, 4 * 8, 16, 8
+    keys = jax.random.split(jax.random.PRNGKey(5), 6)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    k_p, v_p = (_rand(kk, (b, h, s_p, d)) for kk in keys[3:5])
+    g = _rand(keys[5], (b, h, s, d))
+
+    def ring_fn(q, k, v, k_p, v_p):
+        fn = shard_map(
+            lambda q, k, v, k_p, v_p: ring_attention(
+                q, k, v, axis_name="sp", prefix_kv=(k_p, v_p),
+                impl="pallas", interpret=True,
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(None, None, "sp", None), P(None, None, "sp", None),
+                P(None, None, "sp", None), P(), P(),
+            ),
+            out_specs=P(None, None, "sp", None),
+            check_vma=False,  # see _run_ring_flash
+        )
+        return fn(q, k, v, k_p, v_p)
+
+    def ref_fn(q, k, v, k_p, v_p):
+        return attention(
+            q,
+            jnp.concatenate([k_p, k], axis=2),
+            jnp.concatenate([v_p, v], axis=2),
+            impl="xla",
+        )
+
+    out = jax.jit(ring_fn)(q, k, v, k_p, v_p)
+    ref = ref_fn(q, k, v, k_p, v_p)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    args = (q, k, v, k_p, v_p)
+    ga = jax.grad(lambda *a: jnp.sum(ring_fn(*a) * g), argnums=(0, 1, 2, 3, 4))(*args)
+    gb = jax.grad(lambda *a: jnp.sum(ref_fn(*a) * g), argnums=(0, 1, 2, 3, 4))(*args)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=5e-5, rtol=5e-5
+        )

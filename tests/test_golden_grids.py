@@ -139,6 +139,114 @@ def test_golden_taesd_decode():
     _check("taesd_tiny_decode", np.asarray(img, np.float32))
 
 
+# --- int8 path -------------------------------------------------------------
+# Quant regressions previously could only trip the 15% latent bound in
+# test_quant.py; these fixtures pin the int8 rollout numerics themselves.
+# Tolerance is looser than bf16: int8 rounding sits on half-integer edges,
+# so platform-level fp reassociation in the scale computation can flip a
+# quantized lane by 1 — but any semantic change (scale formula, gate set,
+# accumulation dtype) moves outputs far beyond this band.
+ATOL_INT8 = 5e-3
+
+
+def _quant_tiny_gates(monkeypatch):
+    """Lower the interceptor's size floors so the tiny configs' Dense
+    layers reroute (production floors target full-size shapes)."""
+    from tdm_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "MIN_TOKENS", 1)
+    monkeypatch.setattr(quant, "MIN_DIM", 1)
+    monkeypatch.setattr(quant, "WIDE_DIM", 1)
+
+
+def _check_int8(name: str, latents: np.ndarray):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if REGEN:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, latents=latents.astype(np.float32))
+        pytest.skip(f"regenerated {path}")
+    assert os.path.exists(path), (
+        f"missing fixture {path} — run with TDM_REGEN_GOLDEN=1 once"
+    )
+    ref = np.load(path)["latents"]
+    assert ref.shape == latents.shape
+    np.testing.assert_allclose(
+        latents, ref, atol=ATOL_INT8, rtol=ATOL_INT8,
+        err_msg=f"{name}: int8 sampler output drifted from committed golden",
+    )
+
+
+def test_golden_pixart_fewstep_int8(monkeypatch):
+    """Same rollout as test_golden_pixart_fewstep under quantize_int8 —
+    pins the dynamic-int8 numerics (ops/quant.py) with a committed fixture.
+    Also asserts the interceptor actually engaged (output must differ from
+    the bf16 fixture) so a gate regression can't silently no-op this test."""
+    from tdm_tpu.models import pixart
+    from tdm_tpu.ops import quant
+
+    _quant_tiny_gates(monkeypatch)
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    b, seq = 2, 8
+    noise = jax.random.normal(jax.random.PRNGKey(42), (b, 4, 16, 16))
+    text = jax.random.normal(jax.random.PRNGKey(43), (b, seq, cfg.caption_dim)) * 0.1
+    mask = jnp.ones((b, seq), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(7), noise, jnp.zeros((b,)), text, mask
+    )["params"]
+
+    def fn(x, t, cond):
+        te, m = cond
+        return pixart.epsilon(model.apply({"params": params}, x, t, te, m))
+
+    with quant.quantize_int8():
+        latents = np.asarray(
+            sampling.sample_fewstep(
+                fn, sched.ddpm_linear(), noise, (text, mask),
+                timestep_grid=sched.fewstep_grid(900, 4),
+            ),
+            np.float32,
+        )
+    bf16_ref = np.load(os.path.join(GOLDEN_DIR, "pixart_tiny_4nfe.npz"))["latents"]
+    assert np.abs(latents - bf16_ref).max() > ATOL, (
+        "int8 rollout is bit-identical to bf16 — the quant interceptor "
+        "did not engage (gate regression?)"
+    )
+    _check_int8("pixart_tiny_4nfe_int8", latents)
+
+
+def test_golden_sd3_dpm_solver_int8(monkeypatch):
+    """Tiny SD3 DPM-Solver rollout under quantize_int8 (same inputs as the
+    bf16 golden)."""
+    from tdm_tpu.models import mmdit_sd3
+    from tdm_tpu.ops import quant
+
+    _quant_tiny_gates(monkeypatch)
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    b = 2
+    noise = jax.random.normal(
+        jax.random.PRNGKey(8888),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(44), (b, 6, cfg.context_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(45), (b, cfg.pooled_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(9), noise, jnp.zeros((b,)), ctx, pooled
+    )["params"]
+    fn = mmdit_sd3.make_denoise_fn(model, params)
+    with quant.quantize_int8():
+        latents = np.asarray(
+            solvers.sample_dpm_solver(
+                fn, solvers.flow_grid(4, flow_shift=6.0), noise, (ctx, pooled)
+            ),
+            np.float32,
+        )
+    bf16_ref = np.load(os.path.join(GOLDEN_DIR, "sd3_tiny_4nfe_dpm.npz"))["latents"]
+    assert np.abs(latents - bf16_ref).max() > ATOL
+    _check_int8("sd3_tiny_4nfe_dpm_int8", latents)
+
+
 def test_golden_sd15_dpm_solver():
     """Tiny SD1.5 UNet through DPM-Solver++(2M) on the scaled-linear DDPM
     grid — the Dreamshaper recipe's sampler (reference README.md:95-107,

@@ -1,0 +1,127 @@
+"""Full-size sharding/HBM-fit audit — SURVEY §7(e)'s "FSDP makes it fit"
+claim turned into a checked artifact, no hardware required.
+
+`jax.eval_shape` builds the FULL-size TDM training state (student + critic
++ EMA + their optimizer states, plus the frozen teacher the jitted step
+takes as an argument — 4 param-tree roles total, the reference recipe
+`src/main.py:168-176`), the real `tp_fsdp_shardings` rule assigns every
+leaf its PartitionSpec on abstract v5p mesh shapes (BASELINE.md pod
+config), and the test sums the per-chip resident bytes. It fails if a
+model/optimizer/rule change overflows the target topology's HBM budget —
+before any TPU run would.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import AbstractMesh
+
+from tdm_tpu.parallel import tp as ptp
+from tdm_tpu.train import families, optim, tdm
+
+# v5p: 95 GB HBM2e per chip. The persistent state must fit in a fraction
+# of it — the rest is activations (bounded by per-block remat), rollout
+# intermediates, collective buffers, and XLA workspace.
+V5P_HBM_BYTES = 95e9
+STATE_BUDGET_FRACTION = 0.70
+
+
+def _full_state_shapes(family: str):
+    """(TrainState shapes, teacher param shapes) for the full-size family,
+    int8-Adam pod recipe (README.md:157-178), without allocating anything."""
+    bundle = families.build(family, tiny=False)
+    params = jax.eval_shape(bundle.init_params, jax.random.PRNGKey(0))
+    tx = optim.make_optimizer(1e-5, eight_bit=True)
+    state = jax.eval_shape(
+        lambda p: tdm.init_state(p, p, tx, tx, use_ema=True), params
+    )
+    return state, params
+
+
+def _local_bytes(leaf, sharding, mesh_shape) -> int:
+    """Per-chip resident bytes of one leaf under its NamedSharding (ceil
+    per sharded dim — XLA pads uneven shards)."""
+    dims = list(leaf.shape)
+    spec = tuple(sharding.spec) + (None,) * (len(dims) - len(tuple(sharding.spec)))
+    for i, entry in enumerate(spec[: len(dims)]):
+        if entry is None:
+            continue
+        axes = entry if isinstance(entry, (tuple, list)) else (entry,)
+        div = 1
+        for ax in axes:
+            div *= mesh_shape[ax]
+        dims[i] = -(-dims[i] // div)
+    n = 1
+    for d in dims:
+        n *= d
+    return n * jnp.dtype(leaf.dtype).itemsize
+
+
+def _per_chip_state_bytes(tree, mesh) -> int:
+    shardings = ptp.tp_fsdp_shardings(tree, mesh)
+    leaves = jax.tree.leaves(tree)
+    sh_leaves = jax.tree.leaves(shardings)
+    assert len(leaves) == len(sh_leaves)
+    mesh_shape = dict(mesh.shape)
+    return sum(
+        _local_bytes(x, s, mesh_shape) for x, s in zip(leaves, sh_leaves)
+    )
+
+
+def _total_bytes(tree) -> int:
+    return sum(
+        x.size * jnp.dtype(x.dtype).itemsize for x in jax.tree.leaves(tree)
+    )
+
+
+# (family, mesh axis sizes) — v5p-8 single host and the BASELINE.md
+# v5p-16 pod shape, each in the plain-ZeRO and the tp-composed layout
+TOPOLOGIES = [
+    ("sd3", dict(data=2, fsdp=4, tp=1)),
+    ("sd3", dict(data=2, fsdp=2, tp=2)),
+    ("sd3", dict(data=2, fsdp=8, tp=1)),  # v5p-16
+    ("cogvideox", dict(data=2, fsdp=4, tp=1)),
+    ("cogvideox", dict(data=1, fsdp=8, tp=2)),  # v5p-16
+]
+
+
+@pytest.mark.parametrize("family,axes", TOPOLOGIES)
+def test_full_size_state_fits_v5p(family, axes):
+    mesh = AbstractMesh(
+        (axes["data"], axes["fsdp"], axes["tp"]), ("data", "fsdp", "tp")
+    )
+    state, teacher = _full_state_shapes(family)
+    per_chip = _per_chip_state_bytes(state, mesh) + _per_chip_state_bytes(
+        teacher, mesh
+    )
+    budget = V5P_HBM_BYTES * STATE_BUDGET_FRACTION
+    assert per_chip < budget, (
+        f"{family} state needs {per_chip / 1e9:.1f} GB/chip on "
+        f"{axes} — over the {budget / 1e9:.0f} GB state budget "
+        f"({STATE_BUDGET_FRACTION:.0%} of v5p HBM)"
+    )
+
+    # the rule must actually SHARD (catch a silently-replicating rule
+    # regression): per-chip must be well under the unsharded total once
+    # fsdp×tp > 2, and never below the perfect-sharding lower bound
+    total = _total_bytes(state) + _total_bytes(teacher)
+    n_model = axes["fsdp"] * axes["tp"]
+    lower = total / (axes["data"] * n_model)
+    assert per_chip >= lower * 0.99
+    if n_model >= 4:
+        assert per_chip < total / (n_model / 2), (
+            f"sharding rule left {family} state "
+            f"{per_chip / 1e9:.1f} GB/chip of {total / 1e9:.1f} GB total — "
+            f"fsdp x tp = {n_model} should cut it at least in half"
+        )
+
+
+def test_audit_reports_realistic_scale():
+    """Sanity-pin the magnitudes so the audit itself can't silently go
+    shape-blind: full SD3 training state (4 param roles + int8 moments)
+    is multi-GB total, and a 2-GB-class denoiser's params are ~GBs."""
+    state, teacher = _full_state_shapes("sd3")
+    total = _total_bytes(state) + _total_bytes(teacher)
+    assert total > 4e9, f"SD3 audit total suspiciously small: {total / 1e9:.2f} GB"
+    p_bytes = _total_bytes(teacher)
+    assert p_bytes > 1e9

@@ -98,6 +98,96 @@ def _cached_embeds(cache, cache_path: str, prompts: list[str]):
     )
 
 
+def run_pipeline(
+    pipe,
+    prompts: list[str],
+    neg_prompts: Optional[list[str]],
+    call: dict,
+    *,
+    embedding_cache: Optional[str] = None,
+):
+    """prompts → PipelineOutput, resolving conditioning from the pipeline's
+    attached text encoders or, failing that, an offline embedding cache
+    (cli/build_cache). `call` holds pipeline kwargs (steps, cfg, seed, ...);
+    keys the pipeline doesn't accept are dropped. Shared by the generate and
+    evaluate CLIs."""
+    import numpy as np
+
+    accepted = inspect.signature(type(pipe).__call__).parameters
+    call = {k: v for k, v in call.items() if k in accepted}
+    has_encoders = bool(
+        getattr(pipe, "text_encoder", None)
+        or getattr(pipe, "text_encoders", None)
+    )
+    if has_encoders:
+        if neg_prompts is not None:
+            if "negative_prompt" not in accepted:
+                raise SystemExit(
+                    f"{type(pipe).__name__} does not take a negative prompt"
+                )
+            call["negative_prompt"] = neg_prompts
+        return pipe(prompts, **call)
+    if not embedding_cache:
+        raise SystemExit(
+            "this pipeline has no text encoders attached — pass "
+            "--embedding_cache (built with cli/build_cache) or load a "
+            "pipeline dir that bundles encoders"
+        )
+
+    from tdm_tpu.data.prompts import EmbeddingCache
+
+    cache = EmbeddingCache.load(embedding_cache)
+    fam = getattr(pipe, "family", "")
+
+    def pack(e, m, p):
+        """Family cond pytree from cache rows. CogVideoX conditions on
+        the embedding sequence alone (no key-padding mask —
+        models/cogvideox.py); SD3 takes (context, pooled) and needs a
+        pooled-carrying cache (build_cache --pipeline <sd3-dir>)."""
+        if fam == "cogvideox":
+            return e
+        if fam == "sd3":
+            if p is None:
+                raise SystemExit(
+                    "SD3 conditioning needs the pooled CLIP vector — "
+                    "this cache has none; rebuild it with "
+                    "`build_cache --pipeline <sd3 checkpoint>`"
+                )
+            return (e, p)
+        return (e, m)
+
+    embeds, masks, pooled = _cached_embeds(cache, embedding_cache, prompts)
+    negative = None
+    if neg_prompts is not None:
+        negative = pack(*_cached_embeds(cache, embedding_cache, neg_prompts))
+    elif call.get("guidance_scale", 1.0) != 1.0 and cache.uncond_embed is not None:
+        # CFG with no explicit negative: the cache's empty-prompt
+        # embedding (what the reference precomputes, src/main.py:416-431)
+        ue = np.broadcast_to(
+            cache.uncond_embed[None], embeds.shape
+        ).astype(np.float32)
+        um = np.broadcast_to(
+            cache.uncond_mask[None], masks.shape
+        ).astype(np.int32)
+        up = None
+        if pooled is not None:
+            up = (
+                np.broadcast_to(
+                    cache.uncond_pooled[None], pooled.shape
+                ).astype(np.float32)
+                if cache.uncond_pooled is not None
+                else np.zeros_like(pooled)
+            )
+        negative = pack(ue, um, up)
+    if negative is not None:
+        if "negative_embeds" not in accepted:
+            raise SystemExit(
+                f"{type(pipe).__name__} does not take negative embeds"
+            )
+        call["negative_embeds"] = negative
+    return pipe(prompt_embeds=pack(embeds, masks, pooled), **call)
+
+
 def main(argv: Optional[list[str]] = None) -> None:
     args = parse_args(argv)
     import numpy as np
@@ -165,89 +255,14 @@ def main(argv: Optional[list[str]] = None) -> None:
         if v is not None:
             call[k] = v
     prompts = list(args.prompt)
-
-    accepted = inspect.signature(type(pipe).__call__).parameters
-    call = {k: v for k, v in call.items() if k in accepted}
     neg_prompts = (
         list(args.negative_prompt) if args.negative_prompt is not None
         else None
     )
-
-    has_encoders = bool(
-        getattr(pipe, "text_encoder", None)
-        or getattr(pipe, "text_encoders", None)
+    out = run_pipeline(
+        pipe, prompts, neg_prompts, call,
+        embedding_cache=args.embedding_cache,
     )
-    if has_encoders:
-        if neg_prompts is not None:
-            if "negative_prompt" not in accepted:
-                raise SystemExit(
-                    f"{type(pipe).__name__} does not take a negative prompt"
-                )
-            call["negative_prompt"] = neg_prompts
-        out = pipe(prompts, **call)
-    elif args.embedding_cache:
-        from tdm_tpu.data.prompts import EmbeddingCache
-
-        cache = EmbeddingCache.load(args.embedding_cache)
-        fam = getattr(pipe, "family", "")
-
-        def pack(e, m, p):
-            """Family cond pytree from cache rows. CogVideoX conditions on
-            the embedding sequence alone (no key-padding mask —
-            models/cogvideox.py); SD3 takes (context, pooled) and needs a
-            pooled-carrying cache (build_cache --pipeline <sd3-dir>)."""
-            if fam == "cogvideox":
-                return e
-            if fam == "sd3":
-                if p is None:
-                    raise SystemExit(
-                        "SD3 conditioning needs the pooled CLIP vector — "
-                        "this cache has none; rebuild it with "
-                        "`build_cache --pipeline <sd3 checkpoint>`"
-                    )
-                return (e, p)
-            return (e, m)
-
-        embeds, masks, pooled = _cached_embeds(
-            cache, args.embedding_cache, prompts
-        )
-        negative = None
-        if neg_prompts is not None:
-            negative = pack(
-                *_cached_embeds(cache, args.embedding_cache, neg_prompts)
-            )
-        elif args.guidance_scale != 1.0 and cache.uncond_embed is not None:
-            # CFG with no explicit negative: the cache's empty-prompt
-            # embedding (what the reference precomputes, src/main.py:416-431)
-            ue = np.broadcast_to(
-                cache.uncond_embed[None], embeds.shape
-            ).astype(np.float32)
-            um = np.broadcast_to(
-                cache.uncond_mask[None], masks.shape
-            ).astype(np.int32)
-            up = None
-            if pooled is not None:
-                up = (
-                    np.broadcast_to(
-                        cache.uncond_pooled[None], pooled.shape
-                    ).astype(np.float32)
-                    if cache.uncond_pooled is not None
-                    else np.zeros_like(pooled)
-                )
-            negative = pack(ue, um, up)
-        if negative is not None:
-            if "negative_embeds" not in accepted:
-                raise SystemExit(
-                    f"{type(pipe).__name__} does not take negative embeds"
-                )
-            call["negative_embeds"] = negative
-        out = pipe(prompt_embeds=pack(embeds, masks, pooled), **call)
-    else:
-        raise SystemExit(
-            "this pipeline has no text encoders attached — pass "
-            "--embedding_cache (built with cli/build_cache) or load a "
-            "pipeline dir that bundles encoders"
-        )
 
     imgs = np.asarray(out.images if out.images is not None else out.latents)
     if call.get("output_type") == "latent":

@@ -220,6 +220,74 @@ def clip_text_params(sd: dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower (transformers CLIPVisionModel[WithProjection] →
+# models/clip.CLIPVisionEncoder) — the CLIP-score evaluation backbone
+# ---------------------------------------------------------------------------
+
+
+@_strict_converter(
+    "clip_vision",
+    ignore=(r".*\.position_ids",),
+)
+def clip_vision_params(sd: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    _set(tree, "class_embedding", sd["vision_model.embeddings.class_embedding"])
+    _set(tree, "position_embedding",
+         sd["vision_model.embeddings.position_embedding.weight"])
+    _conv(sd, tree, "vision_model.embeddings.patch_embedding", "patch_embedding")
+    _norm(sd, tree, "vision_model.pre_layrnorm", "pre_layrnorm")
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"vision_model\.encoder\.layers\.(\d+)\.", k))
+    )
+    for i in range(n_layers):
+        src = f"vision_model.encoder.layers.{i}"
+        dst = f"layers_{i}"
+        _norm(sd, tree, f"{src}.layer_norm1", f"{dst}/layer_norm1")
+        _norm(sd, tree, f"{src}.layer_norm2", f"{dst}/layer_norm2")
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, tree, f"{src}.self_attn.{p}", f"{dst}/{p}")
+        _linear(sd, tree, f"{src}.mlp.fc1", f"{dst}/fc1")
+        _linear(sd, tree, f"{src}.mlp.fc2", f"{dst}/fc2")
+    _norm(sd, tree, "vision_model.post_layernorm", "post_layernorm")
+    if "visual_projection.weight" in sd:
+        _linear(sd, tree, "visual_projection", "visual_projection", bias=False)
+    return tree
+
+
+def clip_model_params(sd: dict[str, np.ndarray]) -> tuple[dict, dict, float]:
+    """Split a full `transformers.CLIPModel` state dict (both towers in one
+    checkpoint, e.g. openai/clip-vit-large-patch14) into (text_params,
+    vision_params, logit_scale). Each half runs through its own strict
+    converter so unknown keys still fail loudly."""
+    text_sd = {
+        k: v for k, v in sd.items()
+        if k.startswith("text_model.") or k == "text_projection.weight"
+    }
+    vision_sd = {
+        k: v for k, v in sd.items()
+        if k.startswith("vision_model.") or k == "visual_projection.weight"
+    }
+    known = set(text_sd) | set(vision_sd) | {"logit_scale"}
+    unknown = sorted(set(sd) - known)
+    if unknown:
+        raise ValueError(
+            f"clip_model converter: unrecognized keys: {unknown[:8]}"
+        )
+    logit_scale = (
+        float(np.exp(np.asarray(sd["logit_scale"]).reshape(())))
+        if "logit_scale" in sd
+        else 100.0
+    )
+    return (
+        clip_text_params(text_sd),
+        clip_vision_params(vision_sd),
+        logit_scale,
+    )
+
+
+# ---------------------------------------------------------------------------
 # PixArt-α DiT (diffusers Transformer2DModel → models/pixart)
 # ---------------------------------------------------------------------------
 

@@ -1,4 +1,5 @@
-"""CLIP text encoder (Flax) — SD-family prompt conditioning.
+"""CLIP text + vision encoders (Flax) — SD-family prompt conditioning and
+the CLIP-score evaluation tower.
 
 TPU-native rebuild of `transformers.CLIPTextModel(WithProjection)` as the
 reference consumes it: imported at `src/main.py:41`, used inside the SD1.5
@@ -144,4 +145,103 @@ class CLIPTextEncoder(nn.Module):
             )(pooled)
         return CLIPOutput(
             last_hidden_state=last, pooled=pooled, hidden_states=tuple(hidden_states)
+        )
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (ViT) — the image half of CLIP score evaluation.
+# The reference verifies quality only by human inspection of fixed-seed
+# grids (`/root/reference/src/training.py:107-121`, README user study);
+# this tower enables an AUTOMATED student-vs-teacher quality metric
+# (eval/clip_score.py) on top of the same generation paths.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14  # ViT-L/14, the standard CLIP-score backbone
+    hidden: int = 1024
+    num_heads: int = 16
+    num_layers: int = 24
+    mlp_ratio: int = 4
+    activation: str = "quick_gelu"
+    projection_dim: Optional[int] = 768  # set → WithProjection variant
+    layer_norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def tiny() -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            image_size=16, patch_size=4, hidden=32, num_heads=4,
+            num_layers=2, projection_dim=24, dtype=jnp.float32,
+        )
+
+    def _text_view(self) -> CLIPTextConfig:
+        """The block-hyperparameter view CLIPBlock needs (vision blocks are
+        the same pre-LN transformer block, just without the causal mask)."""
+        return CLIPTextConfig(
+            hidden=self.hidden, num_heads=self.num_heads,
+            num_layers=self.num_layers, mlp_ratio=self.mlp_ratio,
+            activation=self.activation, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype,
+        )
+
+
+class CLIPVisionEncoder(nn.Module):
+    """__call__(pixel_values [B, 3, H, W], already CLIP-normalized) →
+    CLIPOutput. torch-parity semantics (transformers CLIPVisionTransformer):
+    embeddings = [class token; conv patches] + learned positions →
+    pre_layrnorm (HF's spelling) → non-causal pre-LN blocks;
+    `last_hidden_state` is returned WITHOUT the final LN, `pooled` is
+    post_layernorm(token 0), optionally × visual_projection."""
+
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        c = self.cfg
+        b = pixel_values.shape[0]
+        x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(c.dtype)
+        patches = nn.Conv(
+            c.hidden, (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), padding="VALID",
+            use_bias=False, dtype=c.dtype, name="patch_embedding",
+        )(x)
+        patches = patches.reshape(b, -1, c.hidden)
+        n_pos = patches.shape[1] + 1
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.hidden,),
+            jnp.float32,
+        )
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02),
+            (n_pos, c.hidden), jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(c.dtype), (b, 1, c.hidden)), patches],
+            axis=1,
+        )
+        x = (x + pos[None].astype(c.dtype)).astype(c.dtype)
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=jnp.float32, name="pre_layrnorm"
+        )(x).astype(c.dtype)
+
+        block_cfg = c._text_view()
+        zero_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        hidden_states = [x]
+        for i in range(c.num_layers):
+            x = CLIPBlock(cfg=block_cfg, name=f"layers_{i}")(x, zero_bias)
+            hidden_states.append(x)
+
+        pooled = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=jnp.float32, name="post_layernorm"
+        )(x[:, 0]).astype(c.dtype)
+        if c.projection_dim is not None:
+            pooled = nn.Dense(
+                c.projection_dim, use_bias=False, dtype=c.dtype,
+                name="visual_projection",
+            )(pooled)
+        return CLIPOutput(
+            last_hidden_state=x, pooled=pooled, hidden_states=tuple(hidden_states)
         )

@@ -13,6 +13,7 @@ service:
                        (video pipelines: {"video": <base64 GIF>})
     GET  /healthz    → {"ok": true, "stats": {...}}
     GET  /stats      → batching counters (requests, batches, mean_fill, ...)
+    GET  /metrics    → the same counters in Prometheus text exposition
 
 Concurrent client requests coalesce into fixed-shape batched sampler calls
 (one compiled program — see serve/batcher.py for the TPU rationale). The
@@ -32,6 +33,45 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+def _prometheus_metrics(stats: dict) -> str:
+    """ServeStats → Prometheus text exposition (the `/metrics` contract every
+    production scraper speaks; stdlib-only like the rest of the daemon)."""
+    counters = {
+        "requests": "generation requests accepted",
+        "batches": "compiled batch dispatches",
+        "rows_padded": "padded (wasted) batch rows",
+        "failures": "requests failed in the worker",
+        "rejected": "requests rejected with 429 (queue full)",
+    }
+    gauges = {
+        "last_batch_latency_s": "dispatch to readback-complete of the last batch",
+        "last_batch_period_s": "completion-to-completion interval of the last batch",
+        "mean_fill": "mean requests per dispatched batch",
+    }
+    lines = []
+    for name, help_ in counters.items():
+        lines += [
+            f"# HELP tdm_serve_{name}_total {help_}",
+            f"# TYPE tdm_serve_{name}_total counter",
+            f"tdm_serve_{name}_total {stats.get(name, 0)}",
+        ]
+    for name, help_ in gauges.items():
+        lines += [
+            f"# HELP tdm_serve_{name} {help_}",
+            f"# TYPE tdm_serve_{name} gauge",
+            f"tdm_serve_{name} {stats.get(name, 0.0)}",
+        ]
+    lines += [
+        "# HELP tdm_serve_batches_by_shape_total batches per compiled bucket size",
+        "# TYPE tdm_serve_batches_by_shape_total counter",
+    ]
+    for shape, count in stats.get("batches_by_shape", {}).items():
+        lines.append(
+            f'tdm_serve_batches_by_shape_total{{shape="{shape}"}} {count}'
+        )
+    return "\n".join(lines) + "\n"
 
 
 def _encode_image(arr: np.ndarray) -> dict:
@@ -104,6 +144,15 @@ def make_handler(batcher, request_timeout_s: float = 600.0):
                 self._json(
                     200, {"ok": True, "stats": batcher.stats.as_dict()}
                 )
+            elif self.path == "/metrics":
+                body = _prometheus_metrics(batcher.stats.as_dict()).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

@@ -411,6 +411,15 @@ def test_http_server_end_to_end(pipe):
         with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
             stats = json.loads(r.read())["stats"]
         assert stats["requests"] >= 2
+
+        # Prometheus exposition mirrors the same counters
+        with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert f"tdm_serve_requests_total {stats['requests']}" in text
+        assert "# TYPE tdm_serve_batches_total counter" in text
+        assert "tdm_serve_mean_fill" in text
+        assert 'tdm_serve_batches_by_shape_total{shape="2"}' in text
     finally:
         server.close()
 

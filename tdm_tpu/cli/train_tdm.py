@@ -17,6 +17,7 @@ Pipeline per §3.1 with the §2 defects fixed (see train/tdm.py):
 from __future__ import annotations
 
 import os
+import signal
 import sys
 from typing import Optional
 
@@ -396,6 +397,30 @@ def main(argv: Optional[list[str]] = None) -> None:
             lambda a: pmesh.put_batch(np.asarray(a), mesh), cond_local
         )
 
+    # ---- preemption safety: the first SIGTERM/SIGINT finishes the
+    # in-flight optimizer step, checkpoints, and returns cleanly (TPU-pod
+    # maintenance delivers SIGTERM to every host, so each process takes
+    # this path and the orbax save stays collective); a second signal gets
+    # the default handler (hard exit). The reference has no equivalent —
+    # its recovery story is manual --resume_from_checkpoint only
+    # (src/main.py:379-401). ----
+    stop_signal: dict = {"signum": None}
+
+    def _graceful(signum, frame):
+        stop_signal["signum"] = signum
+        signal.signal(signum, signal.SIG_DFL)
+        logger.warning(
+            "signal %d — will checkpoint and exit at the next optimizer "
+            "step (send again to kill)", signum,
+        )
+
+    prev_handlers = {}
+    try:
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[_sig] = signal.signal(_sig, _graceful)
+    except ValueError:  # not on the main thread (embedded/library use)
+        prev_handlers = {}
+
     while global_step < n_total_steps:
         text_np, mask_np, pooled_np = get_batch()  # [local_batch, ...] rows
         text_np = np.asarray(text_np, np.float32)
@@ -487,9 +512,23 @@ def main(argv: Optional[list[str]] = None) -> None:
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
             logger.info("profile written to %s/profile", out_dir)
+        if stop_signal["signum"] is not None:
+            break
 
-    mgr.save(global_step, state)
+    for _sig, _h in prev_handlers.items():  # in-process callers keep theirs
+        signal.signal(_sig, _h)
+    mgr.wait()  # settle async saves so latest_step() sees them
+    if mgr.latest_step() != global_step:
+        mgr.save(global_step, state)
     mgr.wait()
+    if stop_signal["signum"] is not None:
+        logger.warning(
+            "preempted by signal %d at step %d — checkpoint saved; resume "
+            "with --resume_from_checkpoint latest",
+            stop_signal["signum"], global_step,
+        )
+        metrics_log.close()
+        return
 
     # ---- final artifacts: student weights + extracted kohya LoRA (the
     # reference's released-checkpoint form, README.md:140-144). The

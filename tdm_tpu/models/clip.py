@@ -135,8 +135,17 @@ class CLIPTextEncoder(nn.Module):
         )(x).astype(c.dtype)
 
         # pooled = hidden at the first EOS token per sequence (HF pools on
-        # `(ids == eos).argmax(-1)`)
-        eos_pos = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32), axis=1)
+        # `(ids == eos).argmax(-1)`). Legacy checkpoints (incl. stock
+        # openai/clip-vit-large-patch14) carry eos_token_id == 2 from
+        # before transformers PR #24773; HF's compat branch pools at the
+        # HIGHEST token id per row (EOT = top of the CLIP vocab) — match
+        # it, else (ids == 2) never hits and pooling silently lands on BOS
+        if c.eos_token_id == 2:
+            eos_pos = jnp.argmax(input_ids, axis=1)
+        else:
+            eos_pos = jnp.argmax(
+                (input_ids == c.eos_token_id).astype(jnp.int32), axis=1
+            )
         pooled = jnp.take_along_axis(last, eos_pos[:, None, None], axis=1)[:, 0]
         if c.projection_dim is not None:
             pooled = nn.Dense(

@@ -148,3 +148,39 @@ def test_preprocess_constants_and_resize():
         cs.CLIP_MEAN
     )[:, None, None]
     assert un.min() >= -1e-5 and un.max() <= 1 + 1e-5
+
+
+def test_legacy_eos2_pooling_matches_torch():
+    """Stock OpenAI CLIP checkpoints carry the legacy eos_token_id=2 config;
+    HF pools those at argmax(input_ids) (the EOT compat branch of
+    transformers PR #24773). Our encoder must match — with the naive
+    (ids == 2) rule every pooled vector lands on BOS and CLIP scores are
+    prompt-insensitive noise."""
+    from tdm_tpu.models import clip as clip_mod
+
+    cfg = transformers.CLIPTextConfig(
+        vocab_size=96, hidden_size=32, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=128,
+        max_position_embeddings=16, hidden_act="quick_gelu",
+        eos_token_id=2, bos_token_id=1,
+    )
+    torch.manual_seed(3)
+    hf = transformers.CLIPTextModel(cfg).eval()
+    sd = _numpy_sd(hf)
+    params = convert.to_jax(convert.clip_text_params(sd))
+    ours_cfg = clip_mod.CLIPTextConfig(
+        vocab_size=96, hidden=32, num_heads=4, num_layers=2,
+        max_positions=16, eos_token_id=2, dtype=jnp.float32, attn_impl="xla",
+    )
+    model = clip_mod.CLIPTextEncoder(cfg=ours_cfg)
+
+    rng = np.random.default_rng(4)
+    # EOT (id 95) mid-sequence, ids never equal to 2 — the legacy layout
+    ids = rng.integers(3, 90, (3, 16))
+    ids[0, 7] = 95
+    ids[1, 12] = 95
+    ids[2, 3] = 95
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).pooler_output.numpy()
+    ours = model.apply({"params": params}, jnp.asarray(ids)).pooled
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=2e-5)

@@ -249,3 +249,101 @@ def test_ring_flash_prefix_matches_concat():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=5e-5, rtol=5e-5
         )
+
+
+def test_ring_flash_vma_typing_with_reference_cores(monkeypatch):
+    """The pallas ring path under check_vma=True (the setting the production
+    caller models/cogvideox.py uses) — the flash tests above must disable
+    vma tracking because interpret-mode pallas rejects mixed-vma
+    dynamic_slice, which leaves _ring_flash's pcast/zero-cotangent typing
+    structurally untested. Here the Pallas hop cores are swapped for
+    numerically-identical pure-jnp references, so shard_map can typecheck
+    every vma annotation in _ring_flash fwd+bwd on CPU while the merge /
+    rotation / custom_vjp logic under test is byte-for-byte the real one."""
+    from tdm_tpu.ops import attention as attn_mod, ring_attention as ra
+
+    def ref_hop(qs, k, v, bias, block_q, block_k, interpret):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs.astype(jnp.float32), k.astype(jnp.float32)
+        ) + bias[:, None, None, :]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        finite = m > -1e29
+        p = jnp.exp(logits - jnp.where(finite, m, 0.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v.astype(jnp.float32)
+        ) / jnp.maximum(l, 1e-30)
+        lse = jnp.where(finite, m + jnp.log(jnp.maximum(l, 1e-30)), -1e30)
+        return jnp.where(finite, out, 0.0), lse
+
+    def ref_bwd_core(qs, k, v, bias, out, lse, g, scale, bq, bk, interpret):
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs.astype(jnp.float32), k.astype(jnp.float32)
+        ) + bias[:, None, None, :]
+        p = jnp.exp(s - lse[..., :1])
+        gf = g.astype(jnp.float32)
+        dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+        delta = jnp.sum(gf * out.astype(jnp.float32), -1, keepdims=True)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32))
+        ds = p * (dp - delta)
+        dq = scale * jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qs.astype(jnp.float32))
+        return dq, dk, dv
+
+    monkeypatch.setattr(ra, "_hop_flash", ref_hop)
+    monkeypatch.setattr(attn_mod, "_bwd_core", ref_bwd_core)
+
+    mesh = _mesh(4)
+    b, h, s, d, s_p = 1, 2, 4 * 8, 16, 8
+    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    q, k, v = (_rand(kk, (b, h, s, d)) for kk in keys[:3])
+    k_p, v_p = (_rand(kk, (b, h, s_p, d)) for kk in keys[3:5])
+    g = _rand(keys[5], (b, h, s, d))
+    mask = np.ones((b, s), np.int32)
+    mask[0, 25:] = 0
+    mask = jnp.asarray(mask)
+
+    def ring_fn(q, k, v, k_p, v_p, mask):
+        fn = shard_map(
+            lambda q, k, v, k_p, v_p, m: ring_attention(
+                q, k, v, axis_name="sp", key_mask=m,
+                prefix_kv=(k_p, v_p), impl="pallas",
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(None, None, "sp", None), P(None, None, "sp", None),
+                P(None, None, "sp", None), P(), P(), P(None, "sp"),
+            ),
+            out_specs=P(None, None, "sp", None),
+            # the point: vma tracking ON (default) — the production setting
+        )
+        return fn(q, k, v, k_p, v_p, mask)
+
+    def ref_fn(q, k, v, k_p, v_p, mask):
+        full_mask = jnp.concatenate(
+            [jnp.ones((b, s_p), mask.dtype), mask], axis=1
+        )
+        return attention(
+            q,
+            jnp.concatenate([k_p, k], axis=2),
+            jnp.concatenate([v_p, v], axis=2),
+            full_mask,
+            impl="xla",
+        )
+
+    out = jax.jit(ring_fn)(q, k, v, k_p, v_p, mask)
+    ref = ref_fn(q, k, v, k_p, v_p, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a, mask) * g)
+
+    for ga, gb in zip(
+        jax.grad(loss(ring_fn), argnums=(0, 1, 2, 3, 4))(q, k, v, k_p, v_p),
+        jax.grad(loss(ref_fn), argnums=(0, 1, 2, 3, 4))(q, k, v, k_p, v_p),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=5e-5, rtol=5e-5
+        )

@@ -65,33 +65,16 @@ def _build_via_pipeline(args, prompt_list):
         return np.asarray(e, np.float16), np.asarray(m), None
 
     bs = args.batch_size
-    embeds, masks, pooleds = [], [], []
-    for i in range(0, len(prompt_list), bs):
-        chunk = list(prompt_list[i : i + bs])
-        pad = bs - len(chunk)  # keep a single compiled shape
-        e, m, p_ = enc(chunk + [""] * pad)
-        embeds.append(e[: len(chunk)])
-        masks.append(m[: len(chunk)])
-        if p_ is not None:
-            pooleds.append(p_[: len(chunk)])
+    embeds, masks, pooled = data_prompts.chunked_encode(prompt_list, enc, bs)
     u_e, u_m, u_p = enc([""] * bs)
     val_prompts = list(args.validation_prompts or [])
     v_e = v_m = v_p = None
     if val_prompts:
-        ve, vm, vp = [], [], []
-        for i in range(0, len(val_prompts), bs):
-            chunk = val_prompts[i : i + bs]
-            e, m, p_ = enc(chunk + [""] * (bs - len(chunk)))
-            ve.append(e[: len(chunk)])
-            vm.append(m[: len(chunk)])
-            if p_ is not None:
-                vp.append(p_[: len(chunk)])
-        v_e, v_m = np.concatenate(ve), np.concatenate(vm)
-        v_p = np.concatenate(vp) if vp else None
+        v_e, v_m, v_p = data_prompts.chunked_encode(val_prompts, enc, bs)
     cache = data_prompts.EmbeddingCache(
-        np.concatenate(embeds), np.concatenate(masks), list(prompt_list),
+        embeds, masks, list(prompt_list),
         uncond_embed=u_e[0], uncond_mask=u_m[0],
-        pooled=np.concatenate(pooleds) if pooleds else None,
+        pooled=pooled,
         uncond_pooled=u_p[0] if u_p is not None else None,
         val_prompts=val_prompts, val_embeds=v_e, val_masks=v_m,
         val_pooled=v_p,

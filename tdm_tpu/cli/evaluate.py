@@ -66,6 +66,12 @@ def _score_run(pipe, scorer, prompts, neg, call, cache, tag, save_dir):
     from tdm_tpu.train import validation
 
     out = run_pipeline(pipe, prompts, neg, dict(call), embedding_cache=cache)
+    if out.images is None:
+        raise SystemExit(
+            "CLIP score needs decoded images, but this pipeline has no VAE "
+            "decoder attached (it returned raw latents) — load a pipeline "
+            "dir that bundles VAE params"
+        )
     imgs = np.asarray(out.images)
     if imgs.ndim == 5:  # video [B,F,H,W,3]: score the middle frame
         imgs = imgs[:, imgs.shape[1] // 2]

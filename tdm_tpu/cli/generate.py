@@ -134,27 +134,14 @@ def run_pipeline(
             "pipeline dir that bundles encoders"
         )
 
-    from tdm_tpu.data.prompts import EmbeddingCache
+    from tdm_tpu.data.prompts import EmbeddingCache, pack_family_cond
 
     cache = EmbeddingCache.load(embedding_cache)
     fam = getattr(pipe, "family", "")
 
     def pack(e, m, p):
-        """Family cond pytree from cache rows. CogVideoX conditions on
-        the embedding sequence alone (no key-padding mask —
-        models/cogvideox.py); SD3 takes (context, pooled) and needs a
-        pooled-carrying cache (build_cache --pipeline <sd3-dir>)."""
-        if fam == "cogvideox":
-            return e
-        if fam == "sd3":
-            if p is None:
-                raise SystemExit(
-                    "SD3 conditioning needs the pooled CLIP vector — "
-                    "this cache has none; rebuild it with "
-                    "`build_cache --pipeline <sd3 checkpoint>`"
-                )
-            return (e, p)
-        return (e, m)
+        # the single family-cond definition lives in data/prompts.py
+        return pack_family_cond(fam, e, m, p, error=SystemExit)
 
     embeds, masks, pooled = _cached_embeds(cache, embedding_cache, prompts)
     negative = None

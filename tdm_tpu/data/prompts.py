@@ -113,6 +113,55 @@ class PromptBatcher:
                 )
 
 
+def pack_family_cond(
+    family: str,
+    embeds,
+    masks,
+    pooled,
+    *,
+    error: type = ValueError,
+):
+    """Cache/encoder rows → the family's conditioning pytree — THE single
+    definition of each family's cond format (shared by cli/generate,
+    cli/train via families, and serve/batcher). CogVideoX conditions on the
+    embedding sequence alone (no key-padding mask — models/cogvideox.py);
+    SD3 takes (context, pooled) and needs a pooled-carrying cache; default
+    is (embeds, mask)."""
+    if family == "cogvideox":
+        return embeds
+    if family == "sd3":
+        if pooled is None:
+            raise error(
+                "SD3 conditioning needs the pooled CLIP vector — this "
+                "cache has none; rebuild it with "
+                "`build_cache --pipeline <sd3 checkpoint>`"
+            )
+        return (embeds, pooled)
+    return (embeds, masks)
+
+
+def chunked_encode(plist: Sequence[str], enc, batch_size: int):
+    """Encode prompts through `enc(padded_chunk) → (embeds, masks,
+    pooled-or-None)` in fixed-size empty-string-padded chunks (ONE compiled
+    encoder shape — docs/ENVIRONMENT_NOTES.md #3), trimming the padding and
+    concatenating. The shared core of EmbeddingCache.build and
+    cli/build_cache's pipeline path."""
+    es, ms, ps = [], [], []
+    for i in range(0, len(plist), batch_size):
+        chunk = list(plist[i : i + batch_size])
+        pad = batch_size - len(chunk)
+        e, m, p = enc(chunk + [""] * pad)
+        es.append(e[: len(chunk)])
+        ms.append(m[: len(chunk)])
+        if p is not None:
+            ps.append(p[: len(chunk)])
+    return (
+        np.concatenate(es),
+        np.concatenate(ms),
+        np.concatenate(ps) if ps else None,
+    )
+
+
 class EmbeddingCache:
     """Offline text-embedding cache: encode every prompt once, stream
     (embeds, mask[, pooled]) batches at train time — the TPU-preferred path
@@ -161,27 +210,19 @@ class EmbeddingCache:
         T5 forward). `val_prompts` are additionally embedded under dedicated
         validation keys (see validation_rows)."""
 
-        def enc_chunked(plist):
-            es, ms = [], []
-            for i in range(0, len(plist), batch_size):
-                chunk = plist[i : i + batch_size]
-                pad = batch_size - len(chunk)  # keep a single compiled shape
-                ids, mask = tokenizer(
-                    chunk + [""] * pad, max_length=max_length
-                )
-                e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
-                es.append(e[: len(chunk)].astype(np.float16))
-                ms.append(np.asarray(mask)[: len(chunk)])
-            return np.concatenate(es), np.concatenate(ms)
+        def enc(chunk):
+            ids, mask = tokenizer(chunk, max_length=max_length)
+            e = np.asarray(encode_fn(np.asarray(ids), np.asarray(mask)))
+            return e.astype(np.float16), np.asarray(mask), None
 
         prompts = list(prompts)
-        embeds, masks = enc_chunked(prompts)
+        embeds, masks, _ = chunked_encode(prompts, enc, batch_size)
         u_ids, u_mask = tokenizer([""] * batch_size, max_length=max_length)
         u = np.asarray(encode_fn(np.asarray(u_ids), np.asarray(u_mask)))
         val_prompts = list(val_prompts or [])
         v_e = v_m = None
         if val_prompts:
-            v_e, v_m = enc_chunked(val_prompts)
+            v_e, v_m, _ = chunked_encode(val_prompts, enc, batch_size)
         return EmbeddingCache(
             embeds, masks, prompts,
             uncond_embed=u[0].astype(np.float16),

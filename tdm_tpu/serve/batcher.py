@@ -112,7 +112,7 @@ def make_cond_fn(
             "pipeline has no text encoders — pass embedding_cache= "
             "(an .npz built with cli/build_cache)"
         )
-    from tdm_tpu.data.prompts import EmbeddingCache
+    from tdm_tpu.data.prompts import EmbeddingCache, pack_family_cond
 
     cache = EmbeddingCache.load(embedding_cache)
     fam = getattr(pipe, "family", "")
@@ -124,7 +124,7 @@ def make_cond_fn(
             # the empty prompt is the CFG unconditional branch: build_cache
             # stores it in the dedicated uncond_* fields, not as a prompt
             # row — consult those before declaring the prompt unknown
-            # (mirrors cli/generate.py's uncond handling)
+            # (same fallback cli/generate.py applies)
             if prompt == "" and cache.uncond_embed is not None:
                 e = cache.uncond_embed[None].astype(np.float32)
                 m = (
@@ -132,32 +132,26 @@ def make_cond_fn(
                     if cache.uncond_mask is not None
                     else np.ones(e.shape[:2], np.int32)
                 )
-                if fam == "cogvideox":
-                    return e
-                if fam == "sd3":
-                    if cache.uncond_pooled is None:
-                        raise ValueError(
-                            "SD3 needs a pooled-carrying cache "
-                            "(build_cache --pipeline <sd3 dir>)"
-                        )
-                    return (e, cache.uncond_pooled[None].astype(np.float32))
-                return (e, m)
+                p = (
+                    cache.uncond_pooled[None].astype(np.float32)
+                    if cache.uncond_pooled is not None
+                    else None
+                )
+                return pack_family_cond(fam, e, m, p)
             raise KeyError(
                 f"prompt {prompt!r} not in the embedding cache — rebuild "
                 "with cli/build_cache"
             )
-        e = cache.embeds[i : i + 1].astype(np.float32)
-        m = cache.masks[i : i + 1].astype(np.int32)
-        if fam == "cogvideox":
-            return e
-        if fam == "sd3":
-            if cache.pooled is None:
-                raise ValueError(
-                    "SD3 needs a pooled-carrying cache "
-                    "(build_cache --pipeline <sd3 dir>)"
-                )
-            return (e, cache.pooled[i : i + 1].astype(np.float32))
-        return (e, m)
+        return pack_family_cond(
+            fam,
+            cache.embeds[i : i + 1].astype(np.float32),
+            cache.masks[i : i + 1].astype(np.int32),
+            (
+                cache.pooled[i : i + 1].astype(np.float32)
+                if cache.pooled is not None
+                else None
+            ),
+        )
 
     return lookup
 
@@ -349,18 +343,31 @@ class MicroBatcher:
                 f"pending queue full ({self._q.maxsize} requests) — retry"
             ) from None
         # close() race: we can pass the _closed check above, then close()
-        # runs and the worker finishes its drain loop BEFORE our put lands —
-        # the orphaned future would block its client for the full request
-        # timeout. If the worker is already gone, drain-and-fail here (this
-        # may also resolve other stragglers; set_exception is idempotent-safe
-        # via the done() guard).
-        if self._closed.is_set() and not self._worker.is_alive():
+        # runs and the worker finishes its final drain pass BEFORE our put
+        # lands — the orphaned future would block its client for the full
+        # request timeout. Drain-and-fail here whenever close() has begun
+        # (NOT only when the worker thread is already dead: there is a
+        # window where the worker finished draining but is_alive() is still
+        # True mid-teardown). Both drains are safe concurrently — a queue
+        # item goes to exactly one getter, the done() guard makes failure
+        # idempotent, and anything the worker's in-flight collect already
+        # took is served normally.
+        if self._closed.is_set():
             while True:
                 try:
                     item = self._q.get_nowait()
                 except queue.Empty:
                     break
-                if item is not None and not item.future.done():
+                if item is None:
+                    # close()'s wake sentinel: a worker blocked in
+                    # _collect's indefinite get() NEEDS it — put it back
+                    # (Full ⇒ the queue has items, the worker is awake)
+                    try:
+                        self._q.put_nowait(None)
+                    except queue.Full:
+                        pass
+                    break
+                if not item.future.done():
                     item.future.set_exception(RuntimeError("batcher closed"))
         return pend.future
 

@@ -143,6 +143,85 @@ def _remat_block(c: PixArtConfig):
     return nn.remat(PixArtBlock)
 
 
+def _prologue(c: PixArtConfig, latent, t, text):
+    """Everything before the block stack: patchify + positions, adaLN-single
+    timestep path, caption projection. Runs inside a compact module scope
+    (the full model's, or PixArtPrologue's for pipeline parallelism) —
+    param names are identical either way, so one param tree serves both."""
+    b = latent.shape[0]
+    x = L.PatchEmbed(
+        patch_size=c.patch_size,
+        dim=c.hidden,
+        pos_embed_base_size=c.sample_size // c.patch_size,
+        dtype=c.dtype,
+        name="pos_embed",
+    )(latent.astype(c.dtype))
+
+    # adaLN-single: sinusoidal t → MLP → base embedding [B,D]; a single
+    # linear expands it to the 6 shared modulation vectors.
+    t_base = L.sinusoidal_timestep_embedding(t, 256)
+    t_emb = L.TimestepEmbedding(c.hidden, dtype=c.dtype, name="t_embedder")(
+        t_base.astype(c.dtype)
+    )
+    t6 = nn.Dense(6 * c.hidden, dtype=c.dtype, name="t_block")(
+        nn.silu(t_emb)
+    ).reshape(b, 6, c.hidden)
+
+    # caption projection (PixArtAlphaTextProjection): 4096 → D MLP
+    y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_1")(
+        text.astype(c.dtype)
+    )
+    y = nn.gelu(y, approximate=True)
+    y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_2")(y)
+    return x, y, t6, t_emb
+
+
+def _epilogue(mod: nn.Module, c: PixArtConfig, x, t_emb, gh, gw, out_dtype):
+    """Final adaLN-modulated norm + projection + unpatchify (the part after
+    the block stack); same dual-scope contract as _prologue."""
+    final_table = mod.param(
+        "final_scale_shift_table",
+        nn.initializers.normal(0.02),
+        (2, c.hidden),
+        jnp.float32,
+    )
+    mod_ = final_table[None] + t_emb.astype(jnp.float32)[:, None]
+    shift, scale = [m.astype(x.dtype) for m in jnp.split(mod_, 2, axis=1)]
+    x = L.layer_norm(x) * (1 + scale) + shift
+    x = nn.Dense(
+        c.patch_size * c.patch_size * c.out_channels,
+        dtype=c.dtype,
+        name="proj_out",
+    )(x)
+    out = L.unpatchify(x, gh, gw, c.patch_size, c.out_channels)
+    return out.astype(out_dtype)
+
+
+class PixArtPrologue(nn.Module):
+    """The full model's pre-block computation as a standalone module —
+    apply it with the FULL PixArtTransformer2D param tree (param names are
+    shared; keys it doesn't use are ignored). Exists for parallel/pp.py,
+    which runs prologue → pipelined blocks → epilogue explicitly."""
+
+    cfg: PixArtConfig
+
+    @nn.compact
+    def __call__(self, latent, t, text):
+        return _prologue(self.cfg, latent, t, text)
+
+
+class PixArtEpilogue(nn.Module):
+    """Post-block head as a standalone module (see PixArtPrologue)."""
+
+    cfg: PixArtConfig
+
+    @nn.compact
+    def __call__(self, x, t_emb, gh: int, gw: int, out_dtype=None):
+        return _epilogue(
+            self, self.cfg, x, t_emb, gh, gw, out_dtype or self.cfg.dtype
+        )
+
+
 class PixArtTransformer2D(nn.Module):
     """Full DiT. __call__(latent [B,4,H,W], t [B], text [B,L,4096],
     text_mask [B,L]) → [B,8,H,W]."""
@@ -152,33 +231,10 @@ class PixArtTransformer2D(nn.Module):
     @nn.compact
     def __call__(self, latent, t, text, text_mask=None):
         c = self.cfg
-        b, _, h, w = latent.shape
+        _, _, h, w = latent.shape
         gh, gw = h // c.patch_size, w // c.patch_size
 
-        x = L.PatchEmbed(
-            patch_size=c.patch_size,
-            dim=c.hidden,
-            pos_embed_base_size=c.sample_size // c.patch_size,
-            dtype=c.dtype,
-            name="pos_embed",
-        )(latent.astype(c.dtype))
-
-        # adaLN-single: sinusoidal t → MLP → base embedding [B,D]; a single
-        # linear expands it to the 6 shared modulation vectors.
-        t_base = L.sinusoidal_timestep_embedding(t, 256)
-        t_emb = L.TimestepEmbedding(c.hidden, dtype=c.dtype, name="t_embedder")(
-            t_base.astype(c.dtype)
-        )
-        t6 = nn.Dense(6 * c.hidden, dtype=c.dtype, name="t_block")(
-            nn.silu(t_emb)
-        ).reshape(b, 6, c.hidden)
-
-        # caption projection (PixArtAlphaTextProjection): 4096 → D MLP
-        y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_1")(
-            text.astype(c.dtype)
-        )
-        y = nn.gelu(y, approximate=True)
-        y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_2")(y)
+        x, y, t6, t_emb = _prologue(c, latent, t, text)
 
         if c.scan_layers:
             block_cls = _remat_block(c) if c.remat else PixArtBlock
@@ -195,29 +251,70 @@ class PixArtTransformer2D(nn.Module):
             for i in range(c.num_layers):
                 x = block_cls(cfg=c, name=f"blocks_{i}")(x, y, text_mask, t6)
 
-        # final adaLN-modulated norm + linear to p²·out_channels
-        final_table = self.param(
-            "final_scale_shift_table",
-            nn.initializers.normal(0.02),
-            (2, c.hidden),
-            jnp.float32,
-        )
-        mod = final_table[None] + t_emb.astype(jnp.float32)[:, None]
-        shift, scale = [m.astype(x.dtype) for m in jnp.split(mod, 2, axis=1)]
-        x = L.layer_norm(x) * (1 + scale) + shift
-        x = nn.Dense(
-            c.patch_size * c.patch_size * c.out_channels,
-            dtype=c.dtype,
-            name="proj_out",
-        )(x)
-        out = L.unpatchify(x, gh, gw, c.patch_size, c.out_channels)
-        return out.astype(latent.dtype)
+        return _epilogue(self, c, x, t_emb, gh, gw, latent.dtype)
 
 
 def epsilon(model_out: jnp.ndarray) -> jnp.ndarray:
     """Drop the learned-variance half: `chunk(2, dim=1)[0]` of the reference
     (`src/predictor.py:35,40`)."""
     return jnp.split(model_out, 2, axis=1)[0]
+
+
+def make_pp_forward(
+    model: PixArtTransformer2D,
+    mesh,
+    *,
+    num_microbatches=None,
+    pp_axis: str = "pp",
+    data_axis=None,
+):
+    """Pipeline-parallel full forward over `mesh`'s `pp_axis` (see
+    parallel/pp.py): fn(params, latent, t, text, text_mask) ≡
+    model.apply(...) up to float reassociation, with the stacked `blocks`
+    layer axis sharded across stages. Requires scan_layers=True (the
+    full-size default). Place params with parallel.pp.pp_param_shardings
+    so each stage holds only its own layers."""
+    from tdm_tpu.parallel import pp as pp_lib
+
+    c = model.cfg
+    if not c.scan_layers:
+        raise ValueError("pipeline parallelism needs scan_layers=True")
+    pro = PixArtPrologue(cfg=c)
+    epi = PixArtEpilogue(cfg=c)
+    block_cls = _remat_block(c) if c.remat else PixArtBlock
+    blk = block_cls(cfg=c, scan=True)
+
+    def prologue(rest, latent, t, text, text_mask):
+        x, y, t6, t_emb = pro.apply({"params": rest}, latent, t, text)
+        return x, (y, text_mask, t6), (t_emb, latent)
+
+    def block_apply(layer_params, h, bc):
+        y, mask, t6 = bc
+        h2, _ = blk.apply({"params": layer_params}, h, y, mask, t6)
+        return h2
+
+    def epilogue(rest, x, aux):
+        t_emb, latent = aux
+        gh = latent.shape[2] // c.patch_size
+        gw = latent.shape[3] // c.patch_size
+        return epi.apply({"params": rest}, x, t_emb, gh, gw, latent.dtype)
+
+    inner = pp_lib.make_pp_forward(
+        prologue,
+        block_apply,
+        epilogue,
+        mesh,
+        pp_axis=pp_axis,
+        data_axis=data_axis,
+        num_microbatches=num_microbatches,
+    )
+
+    def fn(params, latent, t, text, text_mask=None):
+        if text_mask is None:
+            text_mask = jnp.ones(text.shape[:2], jnp.int32)
+        return inner(params, latent, t, text, text_mask)
+
+    return fn
 
 
 def make_denoise_fn(model: PixArtTransformer2D, params):

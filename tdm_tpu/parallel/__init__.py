@@ -1,4 +1,6 @@
-"""Device mesh + sharding rules: DP + FSDP over ('data','fsdp'), and
-megatron-style tensor parallelism over ('data','tp') (parallel/tp.py)."""
+"""Device mesh + sharding rules: DP + FSDP over ('data','fsdp'),
+megatron-style tensor parallelism over ('data','tp') (parallel/tp.py), and
+GPipe pipeline parallelism over the scan-stacked layer axis
+(parallel/pp.py)."""
 
-from tdm_tpu.parallel import mesh, tp  # noqa: F401
+from tdm_tpu.parallel import mesh, pp, tp  # noqa: F401

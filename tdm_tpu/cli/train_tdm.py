@@ -68,12 +68,35 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
         devices = devices[: cfg.max_devices]
     n_dev = len(devices)
-    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1)
+    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1) * max(cfg.pp, 1)
     if n_dev % n_model != 0:
         raise ValueError(
-            f"--fsdp {cfg.fsdp} x --tp {cfg.tp} does not divide {n_dev} devices"
+            f"--fsdp {cfg.fsdp} x --tp {cfg.tp} x --pp {cfg.pp} does not "
+            f"divide {n_dev} devices"
         )
-    if cfg.tp > 1:
+    if cfg.pp > 1:
+        # GPipe pipeline parallelism over the scan-stacked layer axis
+        # (parallel/pp.py): each stage holds L/pp layers of student +
+        # critic + teacher weights AND optimizer state. Depth-scaling
+        # extension — no reference analog (its distributed story stops at
+        # DDP+ZeRO-3, src/main.py:141-160,321-323).
+        from jax.sharding import Mesh
+
+        if cfg.tp > 1 or cfg.fsdp > 1:
+            raise ValueError("--pp does not compose with --fsdp/--tp yet")
+        if cfg.model_family not in ("pixart", "cogvideox"):
+            raise ValueError(
+                "--pp currently supports --model_family pixart/cogvideox"
+            )
+        if cfg.quant_forwards:
+            raise ValueError("--pp with --quant_forwards is not supported")
+        from tdm_tpu.parallel import pp as ppp
+
+        mesh = Mesh(
+            np.asarray(devices).reshape(n_dev // cfg.pp, cfg.pp),
+            (pmesh.DATA_AXIS, ppp.PP_AXIS),
+        )
+    elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
         # shapes, so absmax scales lower to collectives and match the
         # unsharded path (test_quant.py::test_int8_under_tp)
@@ -91,7 +114,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     # don't multiply the batch. Each HOST loads only its local rows
     # (pmesh.put_batch assembles the global array), matching accelerate's
     # per-rank DataLoader shards.
-    n_data_ranks = n_dev // max(cfg.tp, 1)
+    n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1))
     global_batch = cfg.train_batch_size * n_data_ranks
     local_batch = global_batch // jax.process_count()
 
@@ -131,6 +154,36 @@ def main(argv: Optional[list[str]] = None) -> None:
         )
 
     denoise_fn = bundle.denoise_fn
+    # the plain (replicated-params) forward — validation grids always use
+    # this one: their tiny fixed-prompt batches don't divide the pipeline's
+    # microbatch schedule, and val params get replicated anyway
+    plain_denoise_fn = bundle.denoise_fn
+    if cfg.pp > 1:
+        pp_kw = dict(
+            num_microbatches=cfg.pp_microbatches or None,
+            data_axis=pmesh.DATA_AXIS,
+        )
+        if cfg.model_family == "pixart":
+            from tdm_tpu.models import pixart as pixart_mod
+
+            pp_fwd = pixart_mod.make_pp_forward(bundle.model, mesh, **pp_kw)
+
+            def denoise_fn(params, x, t, cond):  # noqa: F811 — pp override
+                text, mask = cond
+                return pixart_mod.epsilon(pp_fwd(params, x, t, text, mask))
+
+        else:  # cogvideox (native v output, cond = masked text tensor)
+            from tdm_tpu.models import cogvideox as cog_mod
+
+            pp_fwd = cog_mod.make_pp_forward(bundle.model, mesh, **pp_kw)
+
+            def denoise_fn(params, x, t, cond):  # noqa: F811 — pp override
+                return pp_fwd(params, x, t, cond)
+
+        logger.info(
+            "pipeline parallelism: %d stages x %d microbatches",
+            cfg.pp, cfg.pp_microbatches or cfg.pp,
+        )
 
     # ---- data: prompts → embedding batches. get_batch() → (text, mask,
     # pooled-or-None); pooled rides SD3-style caches (CLIP-L/G vectors) ----
@@ -289,15 +342,20 @@ def main(argv: Optional[list[str]] = None) -> None:
             rank=cfg.train_lora_rank,
         )
         student_fn = lora_lib.wrap_denoise_fn(denoise_fn, lora_template)
+        # validation view merges over the PLAIN forward (see
+        # plain_denoise_fn above)
+        eval_student_fn = lora_lib.wrap_denoise_fn(
+            plain_denoise_fn, lora_template
+        )
         student_init = lora_template.params
         logger.info("LoRA training: rank %d, %d adapted modules",
                     cfg.train_lora_rank, len(lora_template.alpha))
     # eager 4-arg view for validation grids (not jitted, so binding the
     # base here is harmless; the jitted step threads the base as an arg)
     eval_denoise_fn = (
-        (lambda p, x, t, c: student_fn(p, x, t, c, teacher))
+        (lambda p, x, t, c: eval_student_fn(p, x, t, c, teacher))
         if student_fn is not None
-        else denoise_fn
+        else plain_denoise_fn
     )
     step_fn = tdm.build_train_step(
         denoise_fn, teacher, schedule, tdm_cfg, tx_s, tx_c,
@@ -306,7 +364,18 @@ def main(argv: Optional[list[str]] = None) -> None:
     state = tdm.init_state(
         student_init, teacher, tx_s, tx_c, use_ema=cfg.use_ema
     )
-    if cfg.tp > 1 or cfg.fsdp > 1:
+    if cfg.pp > 1:
+        # stacked `blocks` subtrees (student/critic/EMA params, their
+        # optimizer-state mirrors, and the teacher) shard their layer axis
+        # over 'pp'; everything else replicated — each stage holds only
+        # its own layers of all three model copies
+        from tdm_tpu.parallel import pp as ppp
+
+        state = jax.device_put(state, ppp.pp_param_shardings(state, mesh))
+        teacher = jax.device_put(
+            teacher, ppp.pp_param_shardings(teacher, mesh)
+        )
+    elif cfg.tp > 1 or cfg.fsdp > 1:
         # one combined rule for both regimes: attention/FF kernels
         # megatron-sharded over 'tp' when present (ZeRO-3 layered on their
         # remaining dim), everything else shape-based fsdp; axes absent
@@ -486,7 +555,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             # collective — gating it on process 0 would deadlock); only
             # the file/tracker writes are main-process-only.
             val_params = state.ema if cfg.use_ema else state.student
-            if cfg.fsdp > 1 or cfg.tp > 1:
+            if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1:
                 val_params = jax.device_put(val_params, pmesh.replicated(mesh))
             grids = validation.save_validation_images(
                 eval_denoise_fn, val_params, schedule, val_cond,
@@ -538,7 +607,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
 
     final = state.ema if cfg.use_ema else state.student
-    if cfg.fsdp > 1 or cfg.tp > 1:
+    if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1:
         # gather shards → every host holds the full tree; pull to host so
         # the (main-process-only) merge/SVD below never touches the mesh
         final = jax.tree.map(

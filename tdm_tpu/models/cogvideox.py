@@ -255,6 +255,128 @@ class CogVideoXBlock(nn.Module):
         return ((x, ctx), None) if self.scan else (x, ctx)
 
 
+def _prologue(c: CogVideoXConfig, latent, t, text):
+    """Everything before the block stack: patchify + positions (or RoPE
+    tables), text projection, timestep embedding. Runs inside a compact
+    module scope (the full model's, or CogVideoXPrologue's for pipeline
+    parallelism) — param names are identical either way, so one param tree
+    serves both. Returns (x, ctx, temb, rotary-or-None)."""
+    b, ch, f, h, w = latent.shape
+    p = c.patch_size
+    gh, gw = h // p, w // p
+    s_vid = f * gh * gw
+    inner = c.hidden
+
+    # spatial patchify per frame: [B,16,F,H,W] → [B, F·gh·gw, D]
+    x = jnp.transpose(latent, (0, 2, 3, 4, 1)).astype(c.dtype)  # B,F,H,W,C
+    x = x.reshape(b * f, h, w, ch)
+    x = nn.Conv(inner, (p, p), strides=(p, p), dtype=c.dtype, name="patch_proj")(x)
+    x = x.reshape(b, s_vid, inner)
+
+    ctx = nn.Dense(inner, dtype=c.dtype, name="text_proj")(text.astype(c.dtype))
+
+    # under sequence parallelism this trace sees only the LOCAL frame
+    # shard; position tables are built for the GLOBAL frame count and
+    # sliced at this shard's first token row (tokens are frame-major,
+    # so a frame shard is a contiguous row range)
+    f_global, row0 = f, None
+    if c.sequence_parallel_axis is not None:
+        import jax
+
+        ax = c.sequence_parallel_axis
+        f_global = f * jax.lax.psum(1, ax)  # axis size is static
+        row0 = jax.lax.axis_index(ax) * s_vid
+
+    rotary = None
+    if c.use_rotary:
+        cos, sin = rope_3d(c.head_dim, f_global, gh, gw)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        if row0 is not None:
+            import jax
+
+            cos = jax.lax.dynamic_slice_in_dim(cos, row0, s_vid, 0)
+            sin = jax.lax.dynamic_slice_in_dim(sin, row0, s_vid, 0)
+        rotary = (cos, sin)
+    else:
+        # 2B: FIXED 3D sin-cos positions on video tokens only (text
+        # token positions are zero — diffusers CogVideoXPatchEmbed
+        # builds the joint buffer with a zero text block; the buffer is
+        # non-persistent, so checkpoints carry no pos-embed weights)
+        pos = jnp.asarray(sincos_3d(inner, f_global, gh, gw), c.dtype)
+        if row0 is not None:
+            import jax
+
+            pos = jax.lax.dynamic_slice_in_dim(pos, row0, s_vid, 0)
+        x = x + pos[None]
+
+    t_base = L.sinusoidal_timestep_embedding(t, inner)
+    temb = L.TimestepEmbedding(
+        c.time_embed_dim, dtype=c.dtype, name="time_embedding"
+    )(t_base.astype(c.dtype))
+
+    if c.sequence_parallel_axis is not None:
+        # shard_map varying-axis typing: ctx derives from the REPLICATED
+        # text, but every block mixes ring-attended (varying) video info
+        # into it — mark it varying up front so the layer-scan carry
+        # types match
+        import jax
+
+        ctx = jax.lax.pcast(ctx, c.sequence_parallel_axis, to="varying")
+    return x, ctx, temb, rotary
+
+
+def _epilogue(c: CogVideoXConfig, x, ctx, temb, f, gh, gw, out_dtype):
+    """Final joint norm + AdaLayerNorm head + unpatchify (the part after
+    the block stack); same dual-scope contract as _prologue."""
+    b = x.shape[0]
+    p = c.patch_size
+    inner = c.hidden
+    s_txt = ctx.shape[1]
+    x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_final")(
+        jnp.concatenate([ctx, x], axis=1)
+    ).astype(c.dtype)[:, s_txt:]
+
+    # final AdaLayerNorm: affine LN + (shift, scale) from temb
+    # (diffusers norm_out.{linear,norm})
+    mod = nn.Dense(2 * inner, dtype=c.dtype, name="norm_out_linear")(
+        nn.silu(temb)
+    ).reshape(b, 2, inner)
+    shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
+    x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_out_norm")(
+        x
+    ).astype(c.dtype) * (1 + scale) + shift
+    x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, name="proj_out")(x)
+
+    # unpatchify back to [B,16,F,H,W]
+    x = x.reshape(b, f, gh, gw, p, p, c.out_channels)
+    x = jnp.einsum("bfhwpqc->bcfhpwq", x)
+    return x.reshape(b, c.out_channels, f, gh * p, gw * p).astype(out_dtype)
+
+
+class CogVideoXPrologue(nn.Module):
+    """Pre-block computation as a standalone module — apply it with the
+    FULL CogVideoXTransformer3D param tree (shared param names; unused
+    keys are ignored). Exists for parallel/pp.py."""
+
+    cfg: CogVideoXConfig
+
+    @nn.compact
+    def __call__(self, latent, t, text):
+        return _prologue(self.cfg, latent, t, text)
+
+
+class CogVideoXEpilogue(nn.Module):
+    """Post-block head as a standalone module (see CogVideoXPrologue)."""
+
+    cfg: CogVideoXConfig
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, f: int, gh: int, gw: int, out_dtype=None):
+        return _epilogue(
+            self.cfg, x, ctx, temb, f, gh, gw, out_dtype or self.cfg.dtype
+        )
+
+
 class CogVideoXTransformer3D(nn.Module):
     """__call__(latent [B,16,F,H,W], t [B], text [B,L,4096]) →
     prediction [B,16,F,H,W] (v-prediction for the 2B checkpoint)."""
@@ -264,68 +386,11 @@ class CogVideoXTransformer3D(nn.Module):
     @nn.compact
     def __call__(self, latent, t, text):
         c = self.cfg
-        b, ch, f, h, w = latent.shape
+        _, _, f, h, w = latent.shape
         p = c.patch_size
         gh, gw = h // p, w // p
-        s_vid = f * gh * gw
-        inner = c.hidden
 
-        # spatial patchify per frame: [B,16,F,H,W] → [B, F·gh·gw, D]
-        x = jnp.transpose(latent, (0, 2, 3, 4, 1)).astype(c.dtype)  # B,F,H,W,C
-        x = x.reshape(b * f, h, w, ch)
-        x = nn.Conv(inner, (p, p), strides=(p, p), dtype=c.dtype, name="patch_proj")(x)
-        x = x.reshape(b, s_vid, inner)
-
-        ctx = nn.Dense(inner, dtype=c.dtype, name="text_proj")(text.astype(c.dtype))
-        s_txt = ctx.shape[1]
-
-        # under sequence parallelism this trace sees only the LOCAL frame
-        # shard; position tables are built for the GLOBAL frame count and
-        # sliced at this shard's first token row (tokens are frame-major,
-        # so a frame shard is a contiguous row range)
-        f_global, row0 = f, None
-        if c.sequence_parallel_axis is not None:
-            import jax
-
-            ax = c.sequence_parallel_axis
-            f_global = f * jax.lax.psum(1, ax)  # axis size is static
-            row0 = jax.lax.axis_index(ax) * s_vid
-
-        rotary = None
-        if c.use_rotary:
-            cos, sin = rope_3d(c.head_dim, f_global, gh, gw)
-            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
-            if row0 is not None:
-                import jax
-
-                cos = jax.lax.dynamic_slice_in_dim(cos, row0, s_vid, 0)
-                sin = jax.lax.dynamic_slice_in_dim(sin, row0, s_vid, 0)
-            rotary = (cos, sin)
-        else:
-            # 2B: FIXED 3D sin-cos positions on video tokens only (text
-            # token positions are zero — diffusers CogVideoXPatchEmbed
-            # builds the joint buffer with a zero text block; the buffer is
-            # non-persistent, so checkpoints carry no pos-embed weights)
-            pos = jnp.asarray(sincos_3d(inner, f_global, gh, gw), c.dtype)
-            if row0 is not None:
-                import jax
-
-                pos = jax.lax.dynamic_slice_in_dim(pos, row0, s_vid, 0)
-            x = x + pos[None]
-
-        t_base = L.sinusoidal_timestep_embedding(t, inner)
-        temb = L.TimestepEmbedding(
-            c.time_embed_dim, dtype=c.dtype, name="time_embedding"
-        )(t_base.astype(c.dtype))
-
-        if c.sequence_parallel_axis is not None:
-            # shard_map varying-axis typing: ctx derives from the REPLICATED
-            # text, but every block mixes ring-attended (varying) video info
-            # into it — mark it varying up front so the layer-scan carry
-            # types match
-            import jax
-
-            ctx = jax.lax.pcast(ctx, c.sequence_parallel_axis, to="varying")
+        x, ctx, temb, rotary = _prologue(c, latent, t, text)
 
         block_cls = nn.remat(CogVideoXBlock) if c.remat else CogVideoXBlock
         if c.scan_layers:
@@ -345,25 +410,81 @@ class CogVideoXTransformer3D(nn.Module):
                     x, ctx, temb, rotary
                 )
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_final")(
-            jnp.concatenate([ctx, x], axis=1)
-        ).astype(c.dtype)[:, s_txt:]
+        return _epilogue(c, x, ctx, temb, f, gh, gw, latent.dtype)
 
-        # final AdaLayerNorm: affine LN + (shift, scale) from temb
-        # (diffusers norm_out.{linear,norm})
-        mod = nn.Dense(2 * inner, dtype=c.dtype, name="norm_out_linear")(
-            nn.silu(temb)
-        ).reshape(b, 2, inner)
-        shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_out_norm")(
-            x
-        ).astype(c.dtype) * (1 + scale) + shift
-        x = nn.Dense(p * p * c.out_channels, dtype=c.dtype, name="proj_out")(x)
 
-        # unpatchify back to [B,16,F,H,W]
-        x = x.reshape(b, f, gh, gw, p, p, c.out_channels)
-        x = jnp.einsum("bfhwpqc->bcfhpwq", x)
-        return x.reshape(b, c.out_channels, f, gh * p, gw * p).astype(latent.dtype)
+def make_pp_forward(
+    model: CogVideoXTransformer3D,
+    mesh,
+    *,
+    num_microbatches=None,
+    pp_axis: str = "pp",
+    data_axis=None,
+):
+    """Pipeline-parallel full forward over `mesh`'s `pp_axis` (see
+    parallel/pp.py): fn(params, latent, t, text) ≡ model.apply(...) up to
+    float reassociation, with the stacked `blocks` layer axis sharded
+    across stages — the carry is the (video tokens, text tokens) pair, the
+    per-microbatch broadcast is temb, and the RoPE tables ride the
+    batch-independent `static` slot. Requires scan_layers=True and no
+    sequence_parallel_axis (PP and SP address different limits: PP shards
+    WEIGHT depth, SP shards one video's frames). Place params with
+    parallel.pp.pp_param_shardings."""
+    from tdm_tpu.parallel import pp as pp_lib
+
+    c = model.cfg
+    if not c.scan_layers:
+        raise ValueError("pipeline parallelism needs scan_layers=True")
+    if c.sequence_parallel_axis is not None:
+        raise ValueError(
+            "pipeline parallelism does not compose with "
+            "sequence_parallel_axis — use one or the other"
+        )
+    pro = CogVideoXPrologue(cfg=c)
+    epi = CogVideoXEpilogue(cfg=c)
+    block_cls = nn.remat(CogVideoXBlock) if c.remat else CogVideoXBlock
+    blk = block_cls(cfg=c)
+
+    def prologue(rest, latent, t, text):
+        x, ctx, temb, rotary = pro.apply({"params": rest}, latent, t, text)
+        aux = (temb, latent)
+        if rotary is None:
+            return (x, ctx), temb, aux
+        return (x, ctx), temb, rotary, aux
+
+    def block_apply(layer_params, carry, temb_mb, rotary=None):
+        x, ctx = carry
+        return blk.apply(
+            {"params": layer_params}, x, ctx, temb_mb, rotary
+        )
+
+    def epilogue(rest, carry, aux):
+        x, ctx = carry
+        temb, latent = aux
+        f = latent.shape[2]
+        gh = latent.shape[3] // c.patch_size
+        gw = latent.shape[4] // c.patch_size
+        return epi.apply(
+            {"params": rest}, x, ctx, temb, f, gh, gw, latent.dtype
+        )
+
+    inner = pp_lib.make_pp_forward(
+        prologue,
+        block_apply,
+        epilogue,
+        mesh,
+        pp_axis=pp_axis,
+        data_axis=data_axis,
+        num_microbatches=num_microbatches,
+    )
+
+    def fn(params, latent, t, text):
+        t = jnp.asarray(t)
+        if t.ndim == 0:  # scalar timestep → per-sample (shard_map batch specs)
+            t = jnp.broadcast_to(t, latent.shape[:1])
+        return inner(params, latent, t, text)
+
+    return fn
 
 
 def sequence_parallel_apply(model: CogVideoXTransformer3D, mesh, *, data_axis=None):

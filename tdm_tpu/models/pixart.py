@@ -310,6 +310,9 @@ def make_pp_forward(
     )
 
     def fn(params, latent, t, text, text_mask=None):
+        t = jnp.asarray(t)
+        if t.ndim == 0:  # scalar timestep → per-sample (shard_map batch specs)
+            t = jnp.broadcast_to(t, latent.shape[:1])
         if text_mask is None:
             text_mask = jnp.ones(text.shape[:2], jnp.int32)
         return inner(params, latent, t, text, text_mask)

@@ -59,11 +59,12 @@ def _pvary(x, axis_name: str):
 
 
 def pipeline_blocks(
-    block_apply: Callable[[Any, Any, Any], Any],
+    block_apply: Callable[..., Any],
     blocks_local: Any,
     x: Any,
     bcast: Any,
     *,
+    static: Any = None,
     axis_name: str = PP_AXIS,
     num_microbatches: int,
 ):
@@ -71,10 +72,13 @@ def pipeline_blocks(
     `blocks_local` = this stage's layer slice (stacked params sharded on
     their leading axis over `axis_name`).
 
-    block_apply(layer_params, carry, bcast_mb) -> carry — ONE layer.
+    block_apply(layer_params, carry, bcast_mb[, static]) -> carry — ONE
+    layer.
     x: carry pytree, leading axis = per-device batch B.
     bcast: per-sample conditioning pytree, leading axis B (each stage
     indexes the microbatch it is currently processing).
+    static: optional batch-independent conditioning pytree (e.g. RoPE
+    tables) handed to every block_apply call unchanged — NOT microbatched.
     """
     s = jax.lax.axis_index(axis_name)
     n_stages = jax.lax.psum(1, axis_name)  # static
@@ -95,6 +99,7 @@ def pipeline_blocks(
     # the replicated inputs to varying-over-pp once up front
     x_mb = _pvary(to_mb(x), axis_name)
     bcast_mb = _pvary(to_mb(bcast), axis_name)
+    static_v = None if static is None else _pvary(static, axis_name)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def tick(carry, t):
@@ -109,7 +114,9 @@ def pipeline_blocks(
         bc = jax.tree.map(lambda a: a[mb], bcast_mb)
 
         def layer(h, lp):
-            return block_apply(lp, h, bc), None
+            if static_v is None:
+                return block_apply(lp, h, bc), None
+            return block_apply(lp, h, bc, static_v), None
 
         act, _ = jax.lax.scan(layer, act, blocks_local)
 
@@ -156,8 +163,12 @@ def make_pp_forward(
     """Assemble a pipelined full-model forward from three stage callables:
 
       prologue(rest_params, *inputs) -> (carry, bcast, aux)
-      block_apply(layer_params, carry, bcast) -> carry
+                                     or (carry, bcast, static, aux)
+      block_apply(layer_params, carry, bcast[, static]) -> carry
       epilogue(rest_params, carry, aux) -> out
+
+    `static` (4-tuple form) is batch-independent conditioning (e.g. RoPE
+    tables) handed to every block unchanged rather than microbatched.
 
     Returns fn(params, *inputs) usable under an outer jit; params is the
     FULL param tree with the stacked layers under `blocks_key`. The blocks
@@ -182,12 +193,18 @@ def make_pp_forward(
         dspec = P(data_axis) if data_axis else P()
 
         def body(rest, blocks_local, *inputs):
-            carry, bcast, aux = prologue(rest, *inputs)
+            pro = prologue(rest, *inputs)
+            if len(pro) == 4:
+                carry, bcast, static, aux = pro
+            else:
+                carry, bcast, aux = pro
+                static = None
             carry = pipeline_blocks(
                 block_apply,
                 blocks_local,
                 carry,
                 bcast,
+                static=static,
                 axis_name=pp_axis,
                 num_microbatches=m_default,
             )

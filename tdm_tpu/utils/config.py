@@ -110,6 +110,16 @@ class TrainConfig:
     # story stops at DDP+ZeRO-3). Composes with --fsdp: mesh becomes
     # ('data','fsdp','tp')
     tp: int = 1
+    # TPU extension: devices on the 'pp' mesh axis — GPipe pipeline
+    # parallelism of the scan-stacked layer axis (parallel/pp.py; no
+    # reference analog): each stage holds only L/pp layers of weights +
+    # optimizer state, microbatched activations rotate via ppermute.
+    # pixart family for now; requires --fsdp 1 --tp 1.
+    pp: int = 1
+    # microbatches per pipeline tick (0 = one per stage). Larger values
+    # shrink the (S-1)/(M+S-1) bubble at the cost of smaller per-tick
+    # matmuls; must divide the per-data-rank batch.
+    pp_microbatches: int = 0
     # TPU extension: cap the local devices joining the mesh (0 = all).
     # The accelerate `--num_processes` analog (README.md:160) — handy for
     # pinning a debug run to one chip of a pod (or one virtual device in

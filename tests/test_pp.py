@@ -132,6 +132,132 @@ def test_pp_param_shardings_place_blocks_only(setup):
     )
 
 
+@pytest.fixture(scope="module", params=[False, True], ids=["sincos", "rope"])
+def cog_setup(request):
+    """Tiny CogVideoX (both position variants — RoPE rides the schedule's
+    batch-independent `static` slot) + its monolithic reference output."""
+    from tdm_tpu.models import cogvideox as cog
+
+    cfg = dataclasses.replace(
+        cog.CogVideoXConfig.tiny(use_rotary=request.param), num_layers=4
+    )
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    b = 8
+    latent = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, cfg.in_channels, cfg.sample_frames, cfg.sample_h, cfg.sample_w),
+    )
+    t = jnp.linspace(10.0, 900.0, b)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.max_text_len, cfg.text_dim)
+    )
+    params = model.init(jax.random.PRNGKey(2), latent, t, text)["params"]
+    ref = model.apply({"params": params}, latent, t, text)
+    return cog, model, params, (latent, t, text), ref
+
+
+def test_pp_cogvideox_forward_matches_plain(cog_setup):
+    cog, model, params, inputs, ref = cog_setup
+    fwd = cog.make_pp_forward(model, _pp_mesh(4), num_microbatches=2)
+    out = jax.jit(fwd)(params, *inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )
+
+
+def test_pp_cogvideox_gradients_match_plain(cog_setup):
+    cog, model, params, inputs, ref = cog_setup
+    fwd = cog.make_pp_forward(model, _pp_mesh(4), num_microbatches=2)
+
+    def loss_pp(p):
+        return jnp.mean(fwd(p, *inputs) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, *inputs) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    gmax = max(float(jnp.max(jnp.abs(v))) for v in flat_ref.values())
+    for path, a in jax.tree_util.tree_leaves_with_path(g_pp):
+        b = flat_ref[jax.tree_util.keystr(path)]
+        scale = float(jnp.max(jnp.abs(b))) + 1e-3 * gmax
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 2e-4, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+
+def test_pp_cogvideox_rejects_sp_combination():
+    from tdm_tpu.models import cogvideox as cog
+
+    cfg = dataclasses.replace(
+        cog.CogVideoXConfig.tiny(), sequence_parallel_axis="sp"
+    )
+    with pytest.raises(ValueError, match="sequence_parallel_axis"):
+        cog.make_pp_forward(
+            cog.CogVideoXTransformer3D(cfg=cfg), _pp_mesh(4)
+        )
+
+
+def test_train_cli_pipeline_parallel(tmp_path, monkeypatch):
+    """`--pp 2` trains the tiny PixArt end to end through the CLI: the
+    ('data','pp') mesh, pp_param_shardings placement of the full TrainState
+    (student/critic/EMA/optimizer + teacher), the pipelined denoise_fn
+    inside the jitted TDM step, checkpointing, and final artifacts."""
+    import json
+    import os
+
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "run")
+    argv = [
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-4",
+        "--cfg", "4.5",
+        "--total_steps", "900",
+        "--seed", "0",
+        "--pp", "2",
+    ]
+    train_tdm.main(argv)
+
+    out_dir = f"{out}_cfg4.5_steps900"
+    metrics_file = os.path.join(out_dir, "logs", "metrics.jsonl")
+    with open(metrics_file) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all(abs(r["loss_student"]) < 1e6 for r in rows)
+    assert os.path.exists(
+        os.path.join(out_dir, "student.safetensors")
+    )
+
+
+def test_train_cli_pp_flag_validation():
+    from tdm_tpu.cli import train_tdm
+
+    base = [
+        "--output_dir", "/tmp/unused-pp",
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--max_train_steps", "1",
+    ]
+    with pytest.raises(ValueError, match="does not compose"):
+        train_tdm.main(base + ["--pp", "2", "--tp", "2"])
+    with pytest.raises(ValueError, match="model_family pixart"):
+        train_tdm.main(base + ["--pp", "2", "--model_family", "sd15"])
+    with pytest.raises(ValueError, match="quant_forwards"):
+        train_tdm.main(base + ["--pp", "2", "--quant_forwards"])
+
+
 def test_pp_validation_errors(setup):
     model, params, inputs, _ = setup
     mesh = _pp_mesh(4)

@@ -23,3 +23,13 @@ python -m tdm_tpu.cli.train_tdm \
   --learning_rate 1e-4 --seed 0 --fsdp 2 --tp 2
 
 echo "--- tp metrics ---"; cat "${OUT}_tp_cfg4.5_steps900/logs/metrics.jsonl"
+
+# pipeline-parallel variant: the layer stack GPipe-sharded over 'pp' —
+# each stage holds only L/2 layers of student+critic+teacher weights and
+# optimizer state (parallel/pp.py)
+python -m tdm_tpu.cli.train_tdm \
+  --output_dir "${OUT}_pp" --train_data_dir "" --dataset_name smoke \
+  --train_batch_size 2 --max_train_steps 2 --checkpointing_steps 2 \
+  --learning_rate 1e-4 --seed 0 --pp 2
+
+echo "--- pp metrics ---"; cat "${OUT}_pp_cfg4.5_steps900/logs/metrics.jsonl"

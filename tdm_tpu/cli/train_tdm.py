@@ -79,11 +79,15 @@ def main(argv: Optional[list[str]] = None) -> None:
         # (parallel/pp.py): each stage holds L/pp layers of student +
         # critic + teacher weights AND optimizer state. Depth-scaling
         # extension — no reference analog (its distributed story stops at
-        # DDP+ZeRO-3, src/main.py:141-160,321-323).
+        # DDP+ZeRO-3, src/main.py:141-160,321-323). Composes with --fsdp:
+        # the fsdp axis stays AUTOMATIC in the pp shard_map, so each
+        # stage's layer slice is ZeRO-3-sharded again and GSPMD inserts
+        # the gathers (('data','pp','fsdp') mesh, fsdp on the innermost
+        # ring — its per-layer gathers are the heavy traffic).
         from jax.sharding import Mesh
 
-        if cfg.tp > 1 or cfg.fsdp > 1:
-            raise ValueError("--pp does not compose with --fsdp/--tp yet")
+        if cfg.tp > 1:
+            raise ValueError("--pp does not compose with --tp yet")
         if cfg.model_family not in ("pixart", "cogvideox"):
             raise ValueError(
                 "--pp currently supports --model_family pixart/cogvideox"
@@ -92,9 +96,12 @@ def main(argv: Optional[list[str]] = None) -> None:
             raise ValueError("--pp with --quant_forwards is not supported")
         from tdm_tpu.parallel import pp as ppp
 
+        n_fsdp = max(cfg.fsdp, 1)
         mesh = Mesh(
-            np.asarray(devices).reshape(n_dev // cfg.pp, cfg.pp),
-            (pmesh.DATA_AXIS, ppp.PP_AXIS),
+            np.asarray(devices).reshape(
+                n_dev // (cfg.pp * n_fsdp), cfg.pp, n_fsdp
+            ),
+            (pmesh.DATA_AXIS, ppp.PP_AXIS, pmesh.FSDP_AXIS),
         )
     elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
@@ -367,14 +374,19 @@ def main(argv: Optional[list[str]] = None) -> None:
     if cfg.pp > 1:
         # stacked `blocks` subtrees (student/critic/EMA params, their
         # optimizer-state mirrors, and the teacher) shard their layer axis
-        # over 'pp'; everything else replicated — each stage holds only
-        # its own layers of all three model copies
+        # over 'pp' — each stage holds only its own layers of all three
+        # model copies; with --fsdp the per-stage slices are ZeRO-3-sharded
+        # again (pp_fsdp_shardings) and everything else follows the plain
+        # fsdp rule
         from tdm_tpu.parallel import pp as ppp
 
-        state = jax.device_put(state, ppp.pp_param_shardings(state, mesh))
-        teacher = jax.device_put(
-            teacher, ppp.pp_param_shardings(teacher, mesh)
+        place = (
+            ppp.pp_fsdp_shardings
+            if cfg.fsdp > 1
+            else ppp.pp_param_shardings
         )
+        state = jax.device_put(state, place(state, mesh))
+        teacher = jax.device_put(teacher, place(teacher, mesh))
     elif cfg.tp > 1 or cfg.fsdp > 1:
         # one combined rule for both regimes: attention/FF kernels
         # megatron-sharded over 'tp' when present (ZeRO-3 layered on their

@@ -170,6 +170,12 @@ def make_pp_forward(
     `static` (4-tuple form) is batch-independent conditioning (e.g. RoPE
     tables) handed to every block unchanged rather than microbatched.
 
+    COMPOSES with FSDP: any mesh axis beyond (`data_axis`, pp) — e.g. an
+    'fsdp' axis — is left AUTOMATIC (partial-auto shard_map, the same
+    mechanism models/cogvideox.py::sequence_parallel_apply uses for
+    SP×TP), so params placed with `pp_fsdp_shardings` get ZeRO-3-style
+    gathers GSPMD-inserted inside each stage's layer slice.
+
     Returns fn(params, *inputs) usable under an outer jit; params is the
     FULL param tree with the stacked layers under `blocks_key`. The blocks
     subtree is sharded over `pp_axis` (layer axis), everything else
@@ -210,11 +216,13 @@ def make_pp_forward(
             )
             return epilogue(rest, carry, aux)
 
+        manual = {pp_axis} | ({data_axis} if data_axis else set())
         return shard_map(
             body,
             mesh=mesh,
             in_specs=(P(), P(pp_axis)) + (dspec,) * len(inputs),
             out_specs=dspec,
+            axis_names=manual,
         )(rest, blocks, *inputs)
 
     return fn
@@ -248,5 +256,60 @@ def pp_param_shardings(
         ):
             return pp
         return rep
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def pp_fsdp_shardings(
+    params: Any,
+    mesh: Mesh,
+    *,
+    pp_axis: str = PP_AXIS,
+    fsdp_axis: str = "fsdp",
+    blocks_key: str = "blocks",
+    min_size: int = 2**16,
+) -> Any:
+    """PP × FSDP placement: stacked `blocks` leaves put their layer axis on
+    `pp_axis` AND ZeRO-3-shard their largest remaining dim over
+    `fsdp_axis` (per-stage weight shards get sharded again — gathers are
+    GSPMD-inserted inside make_pp_forward's partial-auto shard_map);
+    non-block leaves follow the plain fsdp rule. `min_size` is the
+    PER-STAGE element count below which a block leaf keeps its non-layer
+    dims replicated (mirrors parallel/mesh.py fsdp_spec's exclusion)."""
+    import numpy as _np
+
+    from tdm_tpu.parallel import mesh as _pmesh
+
+    n_pp = mesh.shape[pp_axis]
+    n_fsdp = mesh.shape.get(fsdp_axis, 1)
+
+    def spec(path, leaf):
+        keys = {
+            getattr(p, "key", getattr(p, "name", None)) for p in path
+        }
+        shape = getattr(leaf, "shape", ())
+        if (
+            blocks_key in keys
+            and len(shape) >= 1
+            and shape[0] % n_pp == 0
+        ):
+            rest_dims = shape[1:]
+            s = [pp_axis] + [None] * len(rest_dims)
+            if (
+                n_fsdp > 1
+                and rest_dims
+                and int(_np.prod(shape)) // n_pp >= min_size
+            ):
+                # largest divisible non-layer dim; ties → later dim
+                best, best_i = -1, None
+                for i, d in enumerate(rest_dims):
+                    if d % n_fsdp == 0 and d >= best:
+                        best, best_i = d, i
+                if best_i is not None:
+                    s[1 + best_i] = fsdp_axis
+            return NamedSharding(mesh, P(*s))
+        return NamedSharding(
+            mesh, _pmesh.fsdp_spec(shape, n_fsdp, min_size=min_size)
+        )
 
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -114,7 +114,8 @@ class TrainConfig:
     # parallelism of the scan-stacked layer axis (parallel/pp.py; no
     # reference analog): each stage holds only L/pp layers of weights +
     # optimizer state, microbatched activations rotate via ppermute.
-    # pixart family for now; requires --fsdp 1 --tp 1.
+    # pixart/cogvideox; composes with --fsdp (('data','pp','fsdp') mesh,
+    # ZeRO-3 inside each stage's layer slice), not with --tp yet.
     pp: int = 1
     # microbatches per pipeline tick (0 = one per stage). Larger values
     # shrink the (S-1)/(M+S-1) bubble at the cost of smaller per-tick

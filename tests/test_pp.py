@@ -132,6 +132,52 @@ def test_pp_param_shardings_place_blocks_only(setup):
     )
 
 
+def test_pp_composes_with_fsdp(setup):
+    """PP × FSDP on a ('data','pp','fsdp') mesh: stacked block leaves shard
+    layer-axis over 'pp' AND their largest remaining dim over 'fsdp'
+    (pp_fsdp_shardings); the fsdp axis stays AUTOMATIC in the pp
+    shard_map, so GSPMD inserts the ZeRO-3 gathers inside each stage.
+    Forward and grads must still match the plain forward."""
+    model, params, inputs, ref = setup
+    devs = jax.devices()
+    mesh = Mesh(
+        np.array(devs).reshape(2, 2, 2), ("data", "pp", "fsdp")
+    )
+    sh = pp_lib.pp_fsdp_shardings(params, mesh, min_size=2**4)
+    # the rule actually engages: a block kernel shards over both axes
+    assert sh["blocks"]["ff"]["proj_in"]["kernel"].spec[0] == "pp"
+    assert "fsdp" in jax.tree_util.tree_flatten(
+        tuple(sh["blocks"]["ff"]["proj_in"]["kernel"].spec)
+    )[0]
+    placed = jax.device_put(params, sh)
+    fwd = pixart.make_pp_forward(
+        model, mesh, num_microbatches=2, data_axis="data"
+    )
+    out = jax.jit(fwd)(placed, *inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    def loss_pp(p):
+        return jnp.mean(fwd(p, *inputs) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, *inputs) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(placed)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    gmax = max(float(jnp.max(jnp.abs(v))) for v in flat_ref.values())
+    for path, a in jax.tree_util.tree_leaves_with_path(g_pp):
+        b = flat_ref[jax.tree_util.keystr(path)]
+        scale = float(jnp.max(jnp.abs(b))) + 1e-3 * gmax
+        err = float(jnp.max(jnp.abs(np.asarray(a) - np.asarray(b)))) / scale
+        assert err < 2e-4, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+
 @pytest.fixture(scope="module", params=[False, True], ids=["sincos", "rope"])
 def cog_setup(request):
     """Tiny CogVideoX (both position variants — RoPE rides the schedule's
@@ -239,6 +285,38 @@ def test_train_cli_pipeline_parallel(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(out_dir, "student.safetensors")
     )
+
+
+def test_train_cli_pp_with_fsdp(tmp_path, monkeypatch):
+    """`--pp 2 --fsdp 2` composes: ('data','pp','fsdp') mesh, per-stage
+    layer slices ZeRO-3-sharded again, batch rows over data x fsdp."""
+    import json
+    import os
+
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "run_ppfsdp")
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "1",
+        "--checkpointing_steps", "5",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+        "--pp", "2",
+        "--fsdp", "2",
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all(abs(r["loss_student"]) < 1e6 for r in rows)
+    assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
 
 
 def test_train_cli_pp_flag_validation():

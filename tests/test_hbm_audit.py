@@ -57,8 +57,8 @@ def _local_bytes(leaf, sharding, mesh_shape) -> int:
     return n * jnp.dtype(leaf.dtype).itemsize
 
 
-def _per_chip_state_bytes(tree, mesh) -> int:
-    shardings = ptp.tp_fsdp_shardings(tree, mesh)
+def _per_chip_state_bytes(tree, mesh, rule=None) -> int:
+    shardings = (rule or ptp.tp_fsdp_shardings)(tree, mesh)
     leaves = jax.tree.leaves(tree)
     sh_leaves = jax.tree.leaves(shardings)
     assert len(leaves) == len(sh_leaves)
@@ -114,6 +114,44 @@ def test_full_size_state_fits_v5p(family, axes):
             f"{per_chip / 1e9:.1f} GB/chip of {total / 1e9:.1f} GB total — "
             f"fsdp x tp = {n_model} should cut it at least in half"
         )
+
+
+def test_full_size_state_fits_v5p_pipeline_parallel():
+    """PP placement audit: the CogVideoX TDM state on a ('data','pp','fsdp')
+    v5p-8 mesh under pp_fsdp_shardings — each stage holds only L/pp layers
+    of all four param roles, ZeRO-3-sharded again over fsdp. The stacked
+    blocks dominate the tree, so per-chip bytes must land near the
+    perfect-sharding bound of the pp×fsdp product."""
+    from jax.sharding import NamedSharding
+
+    from tdm_tpu.parallel import pp as ppp
+
+    mesh = AbstractMesh((2, 2, 2), ("data", "pp", "fsdp"))
+    state, teacher = _full_state_shapes("cogvideox")
+
+    def rule(tree, m):
+        return ppp.pp_fsdp_shardings(tree, m)
+
+    per_chip = _per_chip_state_bytes(state, mesh, rule) + _per_chip_state_bytes(
+        teacher, mesh, rule
+    )
+    budget = V5P_HBM_BYTES * STATE_BUDGET_FRACTION
+    assert per_chip < budget
+    total = _total_bytes(state) + _total_bytes(teacher)
+    # blocks dominate → within 2x of total/(pp*fsdp); and the pp axis must
+    # actually cut residency vs fsdp-only on the same device count
+    assert per_chip < total / 4 * 2.0, (
+        f"pp placement left {per_chip / 1e9:.1f} GB/chip of "
+        f"{total / 1e9:.1f} GB total"
+    )
+    mesh_fsdp_only = AbstractMesh((2, 2, 1), ("data", "fsdp", "tp"))
+    per_chip_fsdp2 = _per_chip_state_bytes(
+        state, mesh_fsdp_only
+    ) + _per_chip_state_bytes(teacher, mesh_fsdp_only)
+    assert per_chip < per_chip_fsdp2 * 0.75, (
+        f"pp x fsdp {per_chip / 1e9:.1f} GB/chip is not meaningfully below "
+        f"fsdp-only {per_chip_fsdp2 / 1e9:.1f} GB/chip"
+    )
 
 
 def test_audit_reports_realistic_scale():

@@ -139,7 +139,7 @@ def pipeline_blocks(
         jnp.arange(m + n_stages - 1),
     )
     # only the last stage's buffer is real — masked psum replicates it
-    is_last = (s == n_stages - 1).astype(jax.tree.leaves(outbuf)[0].dtype)
+    is_last = s == n_stages - 1
     out = jax.tree.map(
         lambda o: jax.lax.psum(o * is_last.astype(o.dtype), axis_name),
         outbuf,
@@ -151,7 +151,7 @@ def pipeline_blocks(
 
 def make_pp_forward(
     prologue: Callable,
-    block_apply: Callable[[Any, Any, Any], Any],
+    block_apply: Callable[..., Any],
     epilogue: Callable,
     mesh: Mesh,
     *,

@@ -79,15 +79,14 @@ def main(argv: Optional[list[str]] = None) -> None:
         # (parallel/pp.py): each stage holds L/pp layers of student +
         # critic + teacher weights AND optimizer state. Depth-scaling
         # extension — no reference analog (its distributed story stops at
-        # DDP+ZeRO-3, src/main.py:141-160,321-323). Composes with --fsdp:
-        # the fsdp axis stays AUTOMATIC in the pp shard_map, so each
-        # stage's layer slice is ZeRO-3-sharded again and GSPMD inserts
-        # the gathers (('data','pp','fsdp') mesh, fsdp on the innermost
-        # ring — its per-layer gathers are the heavy traffic).
+        # DDP+ZeRO-3, src/main.py:141-160,321-323). Composes with --fsdp
+        # and --tp: both stay AUTOMATIC in the pp shard_map, so each
+        # stage's layer slice is megatron-sharded over 'tp' and
+        # ZeRO-3-sharded over 'fsdp' with GSPMD-inserted psums/gathers
+        # (('data','pp','fsdp','tp') mesh — tp innermost: its per-layer
+        # psums are latency-critical; pp's one ppermute/tick is light).
         from jax.sharding import Mesh
 
-        if cfg.tp > 1:
-            raise ValueError("--pp does not compose with --tp yet")
         if cfg.model_family not in ("pixart", "cogvideox"):
             raise ValueError(
                 "--pp currently supports --model_family pixart/cogvideox"
@@ -96,12 +95,12 @@ def main(argv: Optional[list[str]] = None) -> None:
             raise ValueError("--pp with --quant_forwards is not supported")
         from tdm_tpu.parallel import pp as ppp
 
-        n_fsdp = max(cfg.fsdp, 1)
+        n_fsdp, n_tp = max(cfg.fsdp, 1), max(cfg.tp, 1)
         mesh = Mesh(
             np.asarray(devices).reshape(
-                n_dev // (cfg.pp * n_fsdp), cfg.pp, n_fsdp
+                n_dev // (cfg.pp * n_fsdp * n_tp), cfg.pp, n_fsdp, n_tp
             ),
-            (pmesh.DATA_AXIS, ppp.PP_AXIS, pmesh.FSDP_AXIS),
+            (pmesh.DATA_AXIS, ppp.PP_AXIS, pmesh.FSDP_AXIS, ptp.TP_AXIS),
         )
     elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
@@ -375,18 +374,15 @@ def main(argv: Optional[list[str]] = None) -> None:
         # stacked `blocks` subtrees (student/critic/EMA params, their
         # optimizer-state mirrors, and the teacher) shard their layer axis
         # over 'pp' — each stage holds only its own layers of all three
-        # model copies; with --fsdp the per-stage slices are ZeRO-3-sharded
-        # again (pp_fsdp_shardings) and everything else follows the plain
-        # fsdp rule
+        # model copies; the per-stage slices are megatron-sharded over
+        # 'tp' and ZeRO-3-sharded over 'fsdp' when those axes are >1
+        # (pp_tp_fsdp_shardings; size-1 axes degrade to no-ops)
         from tdm_tpu.parallel import pp as ppp
 
-        place = (
-            ppp.pp_fsdp_shardings
-            if cfg.fsdp > 1
-            else ppp.pp_param_shardings
+        state = jax.device_put(state, ppp.pp_tp_fsdp_shardings(state, mesh))
+        teacher = jax.device_put(
+            teacher, ppp.pp_tp_fsdp_shardings(teacher, mesh)
         )
-        state = jax.device_put(state, place(state, mesh))
-        teacher = jax.device_put(teacher, place(teacher, mesh))
     elif cfg.tp > 1 or cfg.fsdp > 1:
         # one combined rule for both regimes: attention/FF kernels
         # megatron-sharded over 'tp' when present (ZeRO-3 layered on their

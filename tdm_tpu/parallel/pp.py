@@ -313,3 +313,43 @@ def pp_fsdp_shardings(
         )
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def pp_tp_fsdp_shardings(
+    params: Any,
+    mesh: Mesh,
+    *,
+    pp_axis: str = PP_AXIS,
+    blocks_key: str = "blocks",
+    min_size: int = 2**16,
+) -> Any:
+    """Full combined placement: stacked `blocks` leaves put their layer
+    axis on `pp_axis` and delegate the remaining dims to the megatron +
+    ZeRO-3 rule (parallel/tp.py tp_fsdp_spec — name-driven column/row 'tp'
+    specs index from the RIGHT, so they apply to the per-layer tail
+    unchanged); non-block leaves follow tp_fsdp_spec directly. Axes absent
+    from the mesh degrade to size 1. Use with make_pp_forward, where every
+    axis beyond (data, pp) stays automatic — GSPMD inserts the megatron
+    psums and ZeRO-3 gathers inside each stage."""
+    from tdm_tpu.parallel import tp as _ptp
+
+    shape_of = dict(mesh.shape)
+    n_pp = shape_of[pp_axis]
+    n_tp = shape_of.get(_ptp.TP_AXIS, 1)
+    n_fsdp = shape_of.get("fsdp", 1)
+
+    def spec(path, leaf):
+        names = _ptp._path_names(path)
+        shape = getattr(leaf, "shape", ())
+        if blocks_key in names and len(shape) >= 1 and shape[0] % n_pp == 0:
+            tail = _ptp.tp_fsdp_spec(
+                names, shape[1:], n_tp, n_fsdp, min_size=min_size
+            )
+            tail = tuple(tail) + (None,) * (len(shape) - 1 - len(tuple(tail)))
+            return NamedSharding(mesh, P(pp_axis, *tail))
+        return NamedSharding(
+            mesh,
+            _ptp.tp_fsdp_spec(names, shape, n_tp, n_fsdp, min_size=min_size),
+        )
+
+    return jax.tree_util.tree_map_with_path(spec, params)

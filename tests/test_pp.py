@@ -287,9 +287,13 @@ def test_train_cli_pipeline_parallel(tmp_path, monkeypatch):
     )
 
 
-def test_train_cli_pp_with_fsdp(tmp_path, monkeypatch):
-    """`--pp 2 --fsdp 2` composes: ('data','pp','fsdp') mesh, per-stage
-    layer slices ZeRO-3-sharded again, batch rows over data x fsdp."""
+def test_train_cli_pp_with_fsdp_and_tp(tmp_path, monkeypatch):
+    """`--pp 2 --fsdp 2 --tp 2` — the full composition matrix in ONE
+    jitted TDM step on the ('data','pp','fsdp','tp') 1×2×2×2 mesh: layer
+    stack GPipe-pipelined over 'pp' (manual), per-stage slices
+    megatron-sharded over 'tp' and ZeRO-3-sharded over 'fsdp' (both
+    automatic — GSPMD inserts the psums/gathers), batch rows over
+    data × fsdp."""
     import json
     import os
 
@@ -299,7 +303,7 @@ def test_train_cli_pp_with_fsdp(tmp_path, monkeypatch):
 
     from tdm_tpu.cli import train_tdm
 
-    out = str(tmp_path / "run_ppfsdp")
+    out = str(tmp_path / "run_ppfsdptp")
     train_tdm.main([
         "--output_dir", out,
         "--train_data_dir", "",
@@ -311,12 +315,31 @@ def test_train_cli_pp_with_fsdp(tmp_path, monkeypatch):
         "--seed", "0",
         "--pp", "2",
         "--fsdp", "2",
+        "--tp", "2",
     ])
     out_dir = f"{out}_cfg4.5_steps900"
     with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f]
     assert rows and all(abs(r["loss_student"]) < 1e6 for r in rows)
     assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
+
+
+def test_pp_tp_fsdp_shardings_rule(setup):
+    """The combined rule: layer axis → 'pp', column/row kernels tp-sharded
+    on the per-layer tail (megatron names), ZeRO-3 on a remaining dim."""
+    _, params, _, _ = setup
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs).reshape(2, 2, 2), ("data", "pp", "tp"))
+    sh = pp_lib.pp_tp_fsdp_shardings(params, mesh, min_size=2**4)
+    # column-parallel q: out dim over tp; row-parallel out-proj: in dim
+    assert sh["blocks"]["attn1"]["to_q"]["kernel"].spec == P("pp", None, "tp")
+    assert sh["blocks"]["attn1"]["to_out"]["kernel"].spec == P(
+        "pp", "tp", None
+    )
+    # non-block leaves follow the plain rule (no pp)
+    assert "pp" not in jax.tree_util.tree_flatten(
+        tuple(sh["proj_out"]["kernel"].spec)
+    )[0]
 
 
 def test_train_cli_pp_flag_validation():
@@ -328,8 +351,6 @@ def test_train_cli_pp_flag_validation():
         "--dataset_name", "unused",
         "--max_train_steps", "1",
     ]
-    with pytest.raises(ValueError, match="does not compose"):
-        train_tdm.main(base + ["--pp", "2", "--tp", "2"])
     with pytest.raises(ValueError, match="model_family pixart"):
         train_tdm.main(base + ["--pp", "2", "--model_family", "sd15"])
     with pytest.raises(ValueError, match="quant_forwards"):

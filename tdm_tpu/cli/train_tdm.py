@@ -74,6 +74,11 @@ def main(argv: Optional[list[str]] = None) -> None:
             f"--fsdp {cfg.fsdp} x --tp {cfg.tp} x --pp {cfg.pp} does not "
             f"divide {n_dev} devices"
         )
+    # multi-slice pods: group devices slice-major so every model axis
+    # (fsdp/tp/pp) stays inside one ICI slice and only the data axis's
+    # once-per-step gradient psum crosses DCN (hybrid ICI x DCN layout;
+    # no-op on single-slice hardware and CPU meshes)
+    devices = pmesh.dcn_ordered_devices(devices, inner=n_model)
     if cfg.pp > 1:
         # GPipe pipeline parallelism over the scan-stacked layer axis
         # (parallel/pp.py): each stage holds L/pp layers of student +

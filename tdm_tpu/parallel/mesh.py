@@ -12,10 +12,12 @@ On TPU none of that is a runtime — it's a compile-time layout problem:
     mean into an ICI psum and the FSDP gathers/scatters into XLA
     all-gather / reduce-scatter — no NCCL calls to port.
 
-The reference's recipe is plain DP over 2 GPUs (`README.md:160`); TP/PP/EP
-do not exist anywhere in it (SURVEY.md §2 table B, "Distributed") and are
-intentionally out of scope here too. Sequence sharding is reserved for the
-CogVideoX long-video path.
+The reference's recipe is plain DP over 2 GPUs (`README.md:160`); TP/PP/
+SP do not exist anywhere in it (SURVEY.md §2 table B, "Distributed") —
+here they are beyond-reference extensions (parallel/tp.py, parallel/pp.py,
+models/cogvideox.py SP). On multi-slice pods `dcn_ordered_devices` keeps
+every model axis inside one ICI slice so only the data axis's gradient
+psum (once per step) crosses DCN — the standard hybrid ICI×DCN layout.
 """
 
 from __future__ import annotations
@@ -53,13 +55,61 @@ def maybe_initialize_distributed() -> bool:
     return False
 
 
+def dcn_ordered_devices(
+    devices=None, *, inner: int = 1, slice_key=None
+) -> np.ndarray:
+    """Slice-aware device order for hybrid ICI×DCN meshes (multi-slice
+    pods / GKE multislice). Returns the devices grouped slice-major so
+    that a row-major reshape to ``(data, <model axes...>)`` — where the
+    model axes' sizes multiply to `inner` — keeps every model axis
+    (fsdp/tp/pp/sp) INSIDE one ICI slice: their per-layer all-gathers and
+    psums ride ICI, and only the data axis — whose single gradient psum
+    per step is the one collective that tolerates DCN latency — spans
+    slices. This is the layout `jax.experimental.mesh_utils.
+    create_hybrid_device_mesh` produces, derived here directly from the
+    devices' `slice_index` so it also covers capped/virtual device lists.
+
+    The reference never faces this (2 GPUs on one NVLink island,
+    `/root/reference/README.md:160`); on TPU it is the difference between
+    FSDP gathers at ~100 GB/s ICI and ~10 GB/s DCN.
+
+    Single-slice hardware and CPU meshes (no `slice_index` attribute)
+    return the input order unchanged. Raises when the model-axis product
+    does not divide the per-slice device count (a model axis would
+    straddle DCN) or slices are unequal.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    key = slice_key or (lambda d: getattr(d, "slice_index", None))
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    if len(groups) == 1:
+        return np.asarray(devices)
+    sizes = {len(g) for g in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"unequal slice sizes {sorted(sizes)} — cannot build a "
+            "rectangular hybrid mesh from these devices"
+        )
+    per_slice = sizes.pop()
+    if per_slice % inner != 0:
+        raise ValueError(
+            f"model axes (product {inner}) do not divide the {per_slice} "
+            "devices per slice — fsdp/tp/pp axes must stay inside one ICI "
+            "slice; lower the model-axis sizes or use full slices"
+        )
+    return np.concatenate(
+        [np.asarray(groups[k]) for k in sorted(groups, key=str)]
+    )
+
+
 def make_mesh(
     n_data: Optional[int] = None, n_fsdp: int = 1, *, devices=None
 ) -> Mesh:
     """('data', 'fsdp') mesh. Defaults to all devices on the data axis —
     the reference's topology (pure DP). Put ICI-adjacent devices on 'fsdp'
     when sharding params so gathers ride the fastest links."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    devices = dcn_ordered_devices(devices, inner=n_fsdp)
     if n_data is None:
         n_data = devices.size // n_fsdp
     assert n_data * n_fsdp == devices.size, (

@@ -59,11 +59,11 @@ def make_tp_mesh(
 ) -> Mesh:
     """('data', 'tp') mesh; defaults to all devices on 'tp' when n_data is
     not given and n_tp covers the host. Put ICI-adjacent devices on 'tp' —
-    the per-layer psum is the latency-critical collective."""
-    if devices is None:
-        devices = np.array(jax.devices())
-    else:
-        devices = np.array(devices)
+    the per-layer psum is the latency-critical collective (multi-slice:
+    'tp' never crosses DCN, parallel/mesh.py dcn_ordered_devices)."""
+    from tdm_tpu.parallel.mesh import dcn_ordered_devices
+
+    devices = dcn_ordered_devices(devices, inner=n_tp)
     if n_data is None:
         n_data = devices.size // n_tp
     assert n_data * n_tp == devices.size, (
@@ -115,11 +115,12 @@ def make_train_mesh(
 ) -> Mesh:
     """('data','fsdp','tp') mesh for tensor-parallel TRAINING on top of the
     DDP+ZeRO-3 surface. Innermost ('tp') gets ICI-adjacent devices — the
-    per-layer psum is latency-critical; 'fsdp' all-gathers amortize."""
-    if devices is None:
-        devices = np.array(jax.devices())
-    else:
-        devices = np.array(devices)
+    per-layer psum is latency-critical; 'fsdp' all-gathers amortize. On
+    multi-slice pods the model axes (fsdp×tp) stay inside one ICI slice
+    (parallel/mesh.py dcn_ordered_devices)."""
+    from tdm_tpu.parallel.mesh import dcn_ordered_devices
+
+    devices = dcn_ordered_devices(devices, inner=n_fsdp * n_tp)
     assert n_data * n_fsdp * n_tp == devices.size, (
         f"mesh {n_data}x{n_fsdp}x{n_tp} != {devices.size} devices"
     )

@@ -342,6 +342,45 @@ def test_pp_tp_fsdp_shardings_rule(setup):
     )[0]
 
 
+def test_pp_composes_with_tp(setup):
+    """PP × TP on a ('data','pp','tp') mesh: layer axis GPipe-manual over
+    'pp', the per-layer megatron kernels on an AUTOMATIC 'tp' axis —
+    GSPMD inserts the per-layer psums inside each stage. Forward AND
+    grads must match the plain unsharded forward."""
+    model, params, inputs, ref = setup
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs).reshape(2, 2, 2), ("data", "pp", "tp"))
+    placed = jax.device_put(
+        params, pp_lib.pp_tp_fsdp_shardings(params, mesh, min_size=2**4)
+    )
+    fwd = pixart.make_pp_forward(
+        model, mesh, num_microbatches=2, data_axis="data"
+    )
+    out = jax.jit(fwd)(placed, *inputs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    def loss_pp(p):
+        return jnp.mean(fwd(p, *inputs) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, *inputs) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(placed)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    gmax = max(float(jnp.max(jnp.abs(v))) for v in flat_ref.values())
+    for path, a in jax.tree_util.tree_leaves_with_path(g_pp):
+        b = flat_ref[jax.tree_util.keystr(path)]
+        scale = float(jnp.max(jnp.abs(b))) + 1e-3 * gmax
+        err = float(jnp.max(jnp.abs(np.asarray(a) - np.asarray(b)))) / scale
+        assert err < 2e-4, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+
 def test_train_cli_pp_flag_validation():
     from tdm_tpu.cli import train_tdm
 

@@ -154,6 +154,34 @@ def test_full_size_state_fits_v5p_pipeline_parallel():
     )
 
 
+def test_full_size_state_fits_v5p_pp_tp_fsdp():
+    """Triple-composition audit: the CogVideoX TDM state on a
+    ('data','pp','fsdp','tp') v5p-8 mesh under pp_tp_fsdp_shardings —
+    each stage holds L/pp layers whose kernels are megatron-sharded over
+    tp AND ZeRO-3-sharded over fsdp. The model-axis product (pp×fsdp×tp=8)
+    must cut per-chip residency near the perfect bound."""
+    from tdm_tpu.parallel import pp as ppp
+
+    mesh = AbstractMesh((1, 2, 2, 2), ("data", "pp", "fsdp", "tp"))
+    state, teacher = _full_state_shapes("cogvideox")
+
+    def rule(tree, m):
+        return ppp.pp_tp_fsdp_shardings(tree, m)
+
+    per_chip = _per_chip_state_bytes(state, mesh, rule) + _per_chip_state_bytes(
+        teacher, mesh, rule
+    )
+    budget = V5P_HBM_BYTES * STATE_BUDGET_FRACTION
+    assert per_chip < budget
+    total = _total_bytes(state) + _total_bytes(teacher)
+    # blocks dominate and every axis must engage: within 2x of the
+    # perfect-sharding bound over the 8-way model-axis product
+    assert per_chip < total / 8 * 2.0, (
+        f"pp x tp x fsdp placement left {per_chip / 1e9:.1f} GB/chip of "
+        f"{total / 1e9:.1f} GB total"
+    )
+
+
 def test_audit_reports_realistic_scale():
     """Sanity-pin the magnitudes so the audit itself can't silently go
     shape-blind: full SD3 training state (4 param roles + int8 moments)

@@ -26,7 +26,8 @@ echo "--- tp metrics ---"; cat "${OUT}_tp_cfg4.5_steps900/logs/metrics.jsonl"
 
 # pipeline-parallel variant: the layer stack GPipe-sharded over 'pp' —
 # each stage holds only L/2 layers of student+critic+teacher weights and
-# optimizer state (parallel/pp.py)
+# optimizer state (parallel/pp.py). Composes with the other axes: add
+# `--fsdp 2 --tp 2` for the full ('data','pp','fsdp','tp') matrix.
 python -m tdm_tpu.cli.train_tdm \
   --output_dir "${OUT}_pp" --train_data_dir "" --dataset_name smoke \
   --train_batch_size 2 --max_train_steps 2 --checkpointing_steps 2 \

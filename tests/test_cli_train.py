@@ -351,3 +351,51 @@ def test_train_cli_sigterm_checkpoints_and_resumes(tmp_path, monkeypatch):
     train_tdm.main(argv + ["--max_train_steps", "3",
                            "--resume_from_checkpoint", "latest"])
     assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
+
+
+def test_train_cli_elastic_resume_across_topologies(tmp_path, monkeypatch):
+    """Elastic resume: a checkpoint written under --fsdp 2 restores under
+    --fsdp 4 — orbax restores into the NEW mesh's shardings (the CLI
+    places the fresh TrainState on the new mesh BEFORE mgr.restore, so
+    each device reads only its own shard of the old layout and GSPMD
+    redistributes). A preempted run can therefore continue on a different
+    pod topology. No reference analog: accelerate's save_state pins the
+    world size (/root/reference/src/main.py:379-401)."""
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "elastic")
+    out_dir = f"{out}_cfg4.5_steps900"
+    argv = [
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-4",
+        "--seed", "0",
+    ]
+    train_tdm.main(argv + ["--fsdp", "2"])
+    assert any(
+        d.startswith("checkpoint") for d in os.listdir(out_dir)
+    ), "no checkpoint from the fsdp=2 run"
+
+    # resume the SAME run on a different topology (argparse last-flag-wins)
+    train_tdm.main(argv + [
+        "--fsdp", "4",
+        "--max_train_steps", "3",
+        "--resume_from_checkpoint", "latest",
+    ])
+    # the fsdp=4 continuation reached step 3 (final post-loop save) ...
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint")]
+    assert any(d.endswith("3") for d in ckpts), ckpts
+    # ... and did NOT restart from scratch: metrics log at step 1 and
+    # every 10th step, so a fresh run would append a second step-1 row
+    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert [r["step"] for r in rows] == [1]
+    assert os.path.exists(os.path.join(out_dir, "student.safetensors"))

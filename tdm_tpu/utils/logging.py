@@ -62,6 +62,17 @@ class MetricLogger:
                     "WANDB_PROJECT", "tdm-tpu"))
             except Exception:
                 self._wandb = None
+        self._comet = None
+        if report_to in ("comet_ml", "comet", "all"):
+            try:  # comet optional (reference --report_to comet_ml,
+                # src/args.py choices; accelerate spells it comet_ml)
+                import comet_ml
+
+                self._comet = comet_ml.Experiment(
+                    project_name=os.environ.get("COMET_PROJECT", "tdm-tpu")
+                )
+            except Exception:
+                self._comet = None
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def log(self, metrics: dict, step: int) -> None:
@@ -73,6 +84,8 @@ class MetricLogger:
                 self._tb.add_scalar(k, v, step)
         if self._wandb is not None:
             self._wandb.log(scalars, step=step)
+        if self._comet is not None:
+            self._comet.log_metrics(scalars, step=step)
         if self._jsonl is not None:
             self._jsonl.write(
                 json.dumps({"step": step, "ts": time.time(), **scalars}) + "\n"
@@ -94,6 +107,8 @@ class MetricLogger:
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
+        if getattr(self, "_comet", None) is not None:
+            self._comet.end()
         if self._jsonl is not None:
             self._jsonl.close()
 

@@ -387,10 +387,25 @@ def main(argv=None) -> None:
         f"http://{args.host}:{server.port} "
         f"(batch {args.batch_size}, window {args.max_delay_ms}ms)"
     )
+    # SIGTERM (systemd/k8s stop) takes the same graceful path as Ctrl-C:
+    # stop accepting, fail queued requests fast ('batcher closed'), let the
+    # in-flight device batch finish, join the worker.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # embedded caller off the main thread: no handler
+        prev = None
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.close()
+    finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
 
 
 if __name__ == "__main__":

@@ -93,16 +93,24 @@ class MetricLogger:
             self._jsonl.flush()
 
     def log_image(self, tag: str, image, step: int) -> None:
-        """[H, W, 3] uint8/float grid → tensorboard (the validation-grid
-        image logging of `log_validation`, reference `src/training.py:85-99`)."""
-        if not self.enabled or self._tb is None:
+        """[H, W, 3] uint8/float grid → every active tracker (the
+        validation-grid image logging of `log_validation`, reference
+        `src/training.py:85-99` — it fans out to tb AND wandb there)."""
+        if not self.enabled:
             return
         import numpy as np
 
         arr = np.asarray(image)
         if arr.dtype != np.uint8:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        self._tb.add_image(tag, arr, step, dataformats="HWC")
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+        if getattr(self, "_wandb", None) is not None:
+            self._wandb.log(
+                {tag: self._wandb.Image(arr)}, step=step
+            )
+        if getattr(self, "_comet", None) is not None:
+            self._comet.log_image(arr, name=tag, step=step)
 
     def close(self) -> None:
         if self._tb is not None:

@@ -98,9 +98,11 @@ def dcn_ordered_devices(
             "devices per slice — fsdp/tp/pp axes must stay inside one ICI "
             "slice; lower the model-axis sizes or use full slices"
         )
-    return np.concatenate(
-        [np.asarray(groups[k]) for k in sorted(groups, key=str)]
-    )
+    try:  # numeric slice ids sort numerically; fall back for mixed types
+        order = sorted(groups)
+    except TypeError:
+        order = sorted(groups, key=str)
+    return np.concatenate([np.asarray(groups[k]) for k in order])
 
 
 def make_mesh(

@@ -170,11 +170,12 @@ def make_pp_forward(
     `static` (4-tuple form) is batch-independent conditioning (e.g. RoPE
     tables) handed to every block unchanged rather than microbatched.
 
-    COMPOSES with FSDP: any mesh axis beyond (`data_axis`, pp) — e.g. an
-    'fsdp' axis — is left AUTOMATIC (partial-auto shard_map, the same
+    COMPOSES with FSDP and TP: any mesh axis beyond (`data_axis`, pp) —
+    'fsdp', 'tp' — is left AUTOMATIC (partial-auto shard_map, the same
     mechanism models/cogvideox.py::sequence_parallel_apply uses for
-    SP×TP), so params placed with `pp_fsdp_shardings` get ZeRO-3-style
-    gathers GSPMD-inserted inside each stage's layer slice.
+    SP×TP), so params placed with `pp_fsdp_shardings` /
+    `pp_tp_fsdp_shardings` get the ZeRO-3 gathers and megatron psums
+    GSPMD-inserted inside each stage's layer slice.
 
     Returns fn(params, *inputs) usable under an outer jit; params is the
     FULL param tree with the stacked layers under `blocks_key`. The blocks

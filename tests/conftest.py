@@ -17,7 +17,29 @@ import os
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: XLA:CPU cold compiles dominate test wall-clock.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# The dir is keyed by the host's CPU feature set: this box is a VM that
+# migrates between physical hosts, and XLA:CPU AOT artifacts cached on a
+# host with different ISA extensions load with a "machine type doesn't
+# match" warning and can SIGILL mid-suite (cpu_aot_loader.cc) — a stale
+# shared cache took down a full pytest run with 'Fatal Python error'.
+
+
+def _cpu_feature_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except Exception:
+        import platform
+
+        return platform.machine()
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_feature_tag()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -44,6 +44,11 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
                    help="kohya/diffusers LoRA safetensors to load")
     p.add_argument("--lora_scale", type=float, default=1.0,
                    help="adapter scale (TDM releases use 0.125)")
+    p.add_argument("--solver", default=None,
+                   choices=(None, "dpm", "unipc", "fewstep"),
+                   help="sampler: dpm (DPM-Solver++ 2M, default), unipc "
+                        "(UniPC predictor-corrector — one order higher at "
+                        "the same NFE), fewstep (PixArt TDM grid)")
     p.add_argument("--flow_shift", type=float, default=None,
                    help="SD3 DPM-Solver sigma shift (recipe: 1-6)")
     p.add_argument("--embedding_cache", default=None,
@@ -241,6 +246,14 @@ def main(argv: Optional[list[str]] = None) -> None:
         v = getattr(args, k)
         if v is not None:
             call[k] = v
+    if args.solver is not None:
+        # loud, not a silent drop: the video recipe samples on its trained
+        # fewstep grid and takes no solver knob (reference README.md:129)
+        if "solver" not in inspect.signature(type(pipe).__call__).parameters:
+            raise SystemExit(
+                f"{type(pipe).__name__} has no --solver knob"
+            )
+        call["solver"] = args.solver
     prompts = list(args.prompt)
     neg_prompts = (
         list(args.negative_prompt) if args.negative_prompt is not None

@@ -151,19 +151,23 @@ class PixArtPipeline(DiffusionPipelineBase):
                     uncond=uncond, cfg=cfg if use_cfg else None,
                 )
 
-        elif solver == "dpm":
+        elif solver in ("dpm", "unipc"):
             grid = solvers.ddpm_grid(schedule, steps)
+            sample = (
+                solvers.sample_dpm_solver if solver == "dpm"
+                else solvers.sample_unipc
+            )
 
             @jax.jit
             def run(params, noise, cond, uncond):
                 denoise = pixart.make_denoise_fn(model, params)
-                return solvers.sample_dpm_solver(
+                return sample(
                     denoise, grid, noise, cond,
                     uncond=uncond, cfg=cfg if use_cfg else None,
                 )
 
         else:
-            raise ValueError(f"unknown solver {solver!r} (fewstep|dpm)")
+            raise ValueError(f"unknown solver {solver!r} (fewstep|dpm|unipc)")
         return run
 
 

@@ -81,6 +81,7 @@ class SD15Pipeline(DiffusionPipelineBase):
         seed: Optional[int] = None,
         generator: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
+        solver: str = "dpm",
         output_type: str = "image",
     ) -> PipelineOutput:
         if prompt_embeds is None:
@@ -103,7 +104,7 @@ class SD15Pipeline(DiffusionPipelineBase):
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0))
+               float(guidance_scale or 1.0), solver)
         fn = self._cached(key, lambda: self._build_sampler(*key))
         latents = fn(self.params, noise, prompt_embeds, uncond)
 
@@ -122,14 +123,19 @@ class SD15Pipeline(DiffusionPipelineBase):
             images=dec(self.vae_params, latents), latents=latents
         )
 
-    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg):
+    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg,
+                       solver="dpm"):
         model = self.unet
         grid = solvers.ddpm_grid(self.schedule, steps)
+        sample = {"dpm": solvers.sample_dpm_solver,
+                  "unipc": solvers.sample_unipc}.get(solver)
+        if sample is None:
+            raise ValueError(f"unknown solver {solver!r} (dpm|unipc)")
 
         @jax.jit
         def run(params, noise, cond, uncond):
             denoise = unet_sd15.make_denoise_fn(model, params)
-            return solvers.sample_dpm_solver(
+            return sample(
                 denoise, grid, noise, cond,
                 uncond=uncond, cfg=cfg if use_cfg else None,
             )

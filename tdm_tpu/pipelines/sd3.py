@@ -124,6 +124,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         generator: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
         flow_shift: Optional[float] = None,
+        solver: str = "dpm",
         output_type: str = "image",
     ) -> PipelineOutput:
         if prompt_embeds is None:
@@ -149,7 +150,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         )
 
         key = (num_inference_steps, lat_h, lat_w, use_cfg,
-               float(guidance_scale or 1.0), float(shift))
+               float(guidance_scale or 1.0), float(shift), solver)
         fn = self._cached(key, lambda: self._build_sampler(*key))
         latents = fn(self.params, noise, prompt_embeds, uncond)
 
@@ -169,14 +170,19 @@ class SD3Pipeline(DiffusionPipelineBase):
             images=dec(self.vae_params, latents), latents=latents
         )
 
-    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg, shift):
+    def _build_sampler(self, steps, lat_h, lat_w, use_cfg, cfg, shift,
+                       solver="dpm"):
         model = self.transformer
         grid = solvers.flow_grid(steps, flow_shift=shift)
+        sample = {"dpm": solvers.sample_dpm_solver,
+                  "unipc": solvers.sample_unipc}.get(solver)
+        if sample is None:
+            raise ValueError(f"unknown solver {solver!r} (dpm|unipc)")
 
         @jax.jit
         def run(params, noise, cond, uncond):
             denoise = mmdit_sd3.make_denoise_fn(model, params)
-            return solvers.sample_dpm_solver(
+            return sample(
                 denoise, grid, noise, cond,
                 uncond=uncond, cfg=cfg if use_cfg else None,
             )

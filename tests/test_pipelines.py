@@ -171,6 +171,37 @@ def test_sd3_pipeline_flow_shift_knob():
     )
 
 
+def test_sd3_pipeline_unipc_solver_knob():
+    """`solver="unipc"` compiles its own sampler and produces a finite,
+    dpm-distinct latent (the corrector re-weights every step K>1)."""
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 16, 8, 8))
+    ctx = jnp.zeros((1, 6, cfg.context_dim))
+    pooled = jnp.zeros((1, cfg.pooled_dim))
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, pooled
+    )["params"]
+    pipe = SD3Pipeline(model, params)
+    embeds = (
+        jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.context_dim)),
+        jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim)),
+    )
+    kw = dict(
+        prompt_embeds=embeds, num_inference_steps=4, height=64, width=64,
+        seed=8888, output_type="latent",
+    )
+    a = pipe(solver="dpm", **kw)
+    b = pipe(solver="unipc", **kw)
+    assert np.isfinite(np.asarray(b.latents, dtype=np.float32)).all()
+    assert not np.allclose(
+        np.asarray(a.latents, dtype=np.float32),
+        np.asarray(b.latents, dtype=np.float32),
+    )
+    with pytest.raises(ValueError):
+        pipe(solver="euler", **kw)
+
+
 def test_cogvideox_pipeline_video_decode():
     cfg = cog.CogVideoXConfig.tiny()
     model = cog.CogVideoXTransformer3D(cfg=cfg)

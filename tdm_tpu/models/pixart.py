@@ -57,6 +57,12 @@ class PixArtConfig:
     # (jax dots_with_no_batch_dims_saveable) — faster when the saved
     # activations still fit HBM
     remat_policy: str = "full"
+    # research extension: >0 swaps each block's MLP for a top-k
+    # mixture-of-experts (models/moe.py) — expert-parallel over an 'ep'
+    # mesh axis via moe.ep_shardings. 0 = dense (reference parity).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def hidden(self) -> int:
@@ -118,12 +124,25 @@ class PixArtBlock(nn.Module):
         x = x + h
 
         h = L.layer_norm(x) * (1 + scale_mlp) + shift_mlp
-        h = L.FeedForward(
-            mult=c.mlp_ratio,
-            activation="gelu-approximate",
-            dtype=c.dtype,
-            name="ff",
-        )(h)
+        if c.moe_experts > 0:
+            from tdm_tpu.models.moe import MoEFeedForward
+
+            h = MoEFeedForward(
+                num_experts=c.moe_experts,
+                top_k=c.moe_top_k,
+                mult=c.mlp_ratio,
+                capacity_factor=c.moe_capacity_factor,
+                activation="gelu-approximate",
+                dtype=c.dtype,
+                name="ff",
+            )(h)
+        else:
+            h = L.FeedForward(
+                mult=c.mlp_ratio,
+                activation="gelu-approximate",
+                dtype=c.dtype,
+                name="ff",
+            )(h)
         out = x + gate_mlp * h
         return (out, None) if self.scan else out
 
@@ -240,7 +259,8 @@ class PixArtTransformer2D(nn.Module):
             block_cls = _remat_block(c) if c.remat else PixArtBlock
             stack = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                # "losses": each layer's sowed MoE aux loss stacks to [L]
+                variable_axes={"params": 0, "losses": 0},
                 split_rngs={"params": True},
                 length=c.num_layers,
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

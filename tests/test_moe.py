@@ -1,0 +1,187 @@
+"""Mixture-of-Experts feed-forward + expert parallelism (models/moe.py).
+
+The reference has no MoE anywhere (SURVEY.md §2 — dense denoisers only);
+this is the 'ep' mesh-axis extension. Tests pin: dense equivalence in the
+degenerate config, capacity-drop semantics, the Switch aux loss, gradient
+flow through routing, expert-parallel parity on the 8-device CPU mesh, and
+the MoE-PixArt config knob end-to-end (forward + one TDM-style grad step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tdm_tpu.models import moe as moe_lib
+from tdm_tpu.models import pixart
+from tdm_tpu.models.layers import FeedForward
+from tdm_tpu.models.moe import MoEFeedForward, ep_shardings, moe_aux_loss
+
+
+def _init(mod, x, key=0):
+    return mod.init(jax.random.PRNGKey(key), x)["params"]
+
+
+def test_single_expert_equals_dense_mlp():
+    """E=1, k=1, capacity ≥ T routes every token to the one expert with
+    gate 1.0 — numerically the dense FeedForward with the same weights."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    m = MoEFeedForward(num_experts=1, top_k=1, mult=2, capacity_factor=1.0)
+    p = _init(m, x)
+    dense = FeedForward(mult=2, activation="gelu-approximate")
+    dp = {
+        "proj_in": {
+            "kernel": p["experts_in"][0],
+            "bias": p["experts_in_bias"][0],
+        },
+        "proj_out": {
+            "kernel": p["experts_out"][0],
+            "bias": p["experts_out_bias"][0],
+        },
+    }
+    out_moe = m.apply({"params": p}, x)
+    out_dense = dense.apply({"params": dp}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_moe), np.asarray(out_dense), atol=1e-5
+    )
+
+
+def test_output_shape_dtype_and_finiteness():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16), jnp.bfloat16)
+    m = MoEFeedForward(num_experts=4, top_k=2, mult=2)
+    p = _init(m, x.astype(jnp.float32))
+    out = jax.jit(lambda p, x: m.apply({"params": p}, x))(p, x)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_capacity_drops_tokens_to_zero():
+    """capacity_factor small enough that most tokens overflow: dropped
+    tokens must contribute EXACTLY zero (residual carries them), kept
+    tokens must be nonzero."""
+    t = 16
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, t, 8))
+    # one expert, cap = ceil(1*16/1 * 1/8) -> force cap=2 via factor
+    m = MoEFeedForward(
+        num_experts=1, top_k=1, mult=2, capacity_factor=2.0 / t
+    )
+    p = _init(m, x)
+    out = m.apply({"params": p}, x)[0]  # [T, D]
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    assert (norms[:2] > 0).all()  # first 2 tokens claim the capacity
+    np.testing.assert_allclose(norms[2:], 0.0, atol=1e-7)
+
+
+def test_aux_loss_sowed_and_balanced_router_lowers_it():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 8))
+    m = MoEFeedForward(num_experts=4, top_k=2, mult=1)
+    p = _init(m, x)
+    _, vs = m.apply({"params": p}, x, mutable=["losses"])
+    aux = moe_aux_loss(vs)
+    assert np.isfinite(float(aux))
+    # perfectly uniform router ⇒ aux = E · Σ_e (1/E)(1/E) · ... = 1 exactly
+    p_uniform = jax.tree.map(lambda a: a, p)
+    p_uniform["router"]["kernel"] = jnp.zeros_like(p["router"]["kernel"])
+    _, vs_u = m.apply({"params": p_uniform}, x, mutable=["losses"])
+    np.testing.assert_allclose(float(moe_aux_loss(vs_u)), 1.0, atol=1e-5)
+    # a maximally-collapsed router (all mass on expert 0) is strictly worse
+    k = jnp.zeros_like(p["router"]["kernel"]).at[:, 0].set(50.0)
+    p_bad = dict(p, router={"kernel": k})
+    _, vs_b = m.apply({"params": p_bad}, x, mutable=["losses"])
+    assert float(moe_aux_loss(vs_b)) > float(moe_aux_loss(vs_u))
+
+
+def test_gradients_flow_through_experts_and_router():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8))
+    m = MoEFeedForward(num_experts=4, top_k=2, mult=1)
+    p = _init(m, x)
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(p)
+    for name in ("experts_in", "experts_out", "router"):
+        leaf = g[name]["kernel"] if name == "router" else g[name]
+        assert float(jnp.max(jnp.abs(jax.tree.leaves(leaf)[0]))) > 0, name
+
+
+def test_invalid_top_k_raises():
+    x = jnp.zeros((1, 4, 8))
+    with pytest.raises(ValueError):
+        MoEFeedForward(num_experts=2, top_k=3).init(
+            jax.random.PRNGKey(0), x
+        )
+
+
+def test_expert_parallel_matches_single_device():
+    """ep_shardings over a ('data','ep') mesh: GSPMD-sharded forward must
+    equal the unsharded one (annotation only, no model changes)."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "ep"))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 16))
+    m = MoEFeedForward(num_experts=8, top_k=2, mult=2)
+    p = _init(m, x)
+    ref = m.apply({"params": p}, x)
+
+    shardings = ep_shardings(p, mesh)
+    # every expert leaf sharded on 'ep' (axis 0), router replicated
+    assert shardings["experts_in"].spec[0] == "ep"
+    assert shardings["experts_out"].spec[0] == "ep"
+    assert "ep" not in str(shardings["router"]["kernel"].spec)
+    p_sh = jax.device_put(p, shardings)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        out = jax.jit(lambda p, x: m.apply({"params": p}, x))(p_sh, x_sh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5
+    )
+
+
+def test_moe_pixart_forward_and_grad_step():
+    """The PixArtConfig knob: a tiny MoE DiT runs the scan-over-layers
+    forward (losses collection stacks to [L]) and takes a grad step."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        pixart.PixArtConfig.tiny(), moe_experts=4, moe_top_k=2
+    )
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((2, 4, 16, 16))
+    t = jnp.zeros((2,))
+    text = jnp.zeros((2, 6, cfg.caption_dim))
+    mask = jnp.ones((2, 6), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), lat, t, text, mask)["params"]
+    # expert leaves live under blocks with a leading layer axis
+    assert params["blocks"]["ff"]["experts_in"].shape[:2] == (
+        cfg.num_layers, 4,
+    )
+    out, vs = model.apply(
+        {"params": params}, lat, t, text, mask, mutable=["losses"]
+    )
+    assert out.shape == (2, 8, 16, 16)
+    aux = moe_aux_loss(vs)
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+    def loss(p):
+        o = model.apply({"params": p}, lat + 0.1, t + 500.0, text, mask)
+        return jnp.mean(o[:, :4] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.max(jnp.abs(g["blocks"]["ff"]["experts_in"]))) > 0
+
+    # ep sharding on the stacked layout places axis 1
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "ep"))
+    sh = ep_shardings(params, mesh)
+    spec = sh["blocks"]["ff"]["experts_in"].spec
+    assert len(spec) >= 2 and spec[0] is None and spec[1] == "ep"
+    ref = model.apply({"params": params}, lat, t, text, mask)
+    p_sh = jax.device_put(params, sh)
+    with mesh:
+        out_sh = jax.jit(
+            lambda p: model.apply({"params": p}, lat, t, text, mask)
+        )(p_sh)
+    np.testing.assert_allclose(
+        np.asarray(out_sh, np.float32), np.asarray(ref, np.float32), atol=3e-5
+    )

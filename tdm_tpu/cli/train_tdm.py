@@ -68,11 +68,24 @@ def main(argv: Optional[list[str]] = None) -> None:
             )
         devices = devices[: cfg.max_devices]
     n_dev = len(devices)
-    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1) * max(cfg.pp, 1)
+    n_ep = max(cfg.ep, 1)
+    if n_ep > 1:
+        if cfg.moe_experts <= 0:
+            raise ValueError("--ep requires --moe_experts > 0")
+        if cfg.tp > 1 or cfg.pp > 1:
+            raise ValueError(
+                "--ep composes with --fsdp only (tp/pp x ep is unsupported)"
+            )
+        if cfg.moe_experts % n_ep:
+            raise ValueError(
+                f"--moe_experts {cfg.moe_experts} not divisible by "
+                f"--ep {n_ep}"
+            )
+    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep
     if n_dev % n_model != 0:
         raise ValueError(
-            f"--fsdp {cfg.fsdp} x --tp {cfg.tp} x --pp {cfg.pp} does not "
-            f"divide {n_dev} devices"
+            f"--fsdp {cfg.fsdp} x --tp {cfg.tp} x --pp {cfg.pp} x --ep "
+            f"{cfg.ep} does not divide {n_dev} devices"
         )
     # multi-slice pods: group devices slice-major so every model axis
     # (fsdp/tp/pp) stays inside one ICI slice and only the data axis's
@@ -107,6 +120,20 @@ def main(argv: Optional[list[str]] = None) -> None:
             ),
             (pmesh.DATA_AXIS, ppp.PP_AXIS, pmesh.FSDP_AXIS, ptp.TP_AXIS),
         )
+    elif n_ep > 1:
+        # expert parallelism (models/moe.py): the MoE student's expert
+        # stacks shard over 'ep' by GSPMD annotation (all-to-alls
+        # compiler-inserted); everything else ZeRO-3 over 'fsdp'. Research
+        # extension — the reference's zoo is dense-only.
+        from jax.sharding import Mesh
+
+        n_fsdp = max(cfg.fsdp, 1)
+        mesh = Mesh(
+            np.asarray(devices).reshape(
+                n_dev // (n_fsdp * n_ep), n_fsdp, n_ep
+            ),
+            (pmesh.DATA_AXIS, pmesh.FSDP_AXIS, "ep"),
+        )
     elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
         # shapes, so absmax scales lower to collectives and match the
@@ -125,7 +152,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     # don't multiply the batch. Each HOST loads only its local rows
     # (pmesh.put_batch assembles the global array), matching accelerate's
     # per-rank DataLoader shards.
-    n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1))
+    n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep)
     global_batch = cfg.train_batch_size * n_data_ranks
     local_batch = global_batch // jax.process_count()
 
@@ -144,6 +171,10 @@ def main(argv: Optional[list[str]] = None) -> None:
         # 'no'/'fp32' forces f32 compute — reference src/main.py:330-338)
         mixed_precision=cfg.mixed_precision,
         allow_pooled_standin=cfg.allow_pooled_standin,
+        # --moe_experts: MoE-PixArt student (models/moe.py); shard the
+        # expert stacks with --ep
+        moe_experts=cfg.moe_experts,
+        moe_top_k=cfg.moe_top_k,
     )
     sample_shape = bundle.sample_shape
     seq_len = bundle.seq_len
@@ -388,6 +419,17 @@ def main(argv: Optional[list[str]] = None) -> None:
         teacher = jax.device_put(
             teacher, ppp.pp_tp_fsdp_shardings(teacher, mesh)
         )
+    elif n_ep > 1:
+        # expert stacks (student/critic/EMA + optimizer mirrors + teacher)
+        # shard over 'ep'; every other leaf follows the ZeRO-3 rule
+        from tdm_tpu.models.moe import ep_shardings
+
+        n_fsdp = max(cfg.fsdp, 1)
+        rule = lambda names, shape: pmesh.fsdp_spec(shape, n_fsdp)  # noqa: E731
+        state = jax.device_put(state, ep_shardings(state, mesh, base_rule=rule))
+        teacher = jax.device_put(
+            teacher, ep_shardings(teacher, mesh, base_rule=rule)
+        )
     elif cfg.tp > 1 or cfg.fsdp > 1:
         # one combined rule for both regimes: attention/FF kernels
         # megatron-sharded over 'tp' when present (ZeRO-3 layered on their
@@ -568,7 +610,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             # collective — gating it on process 0 would deadlock); only
             # the file/tracker writes are main-process-only.
             val_params = state.ema if cfg.use_ema else state.student
-            if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1:
+            if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1 or cfg.ep > 1:
                 val_params = jax.device_put(val_params, pmesh.replicated(mesh))
             grids = validation.save_validation_images(
                 eval_denoise_fn, val_params, schedule, val_cond,
@@ -620,7 +662,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from tdm_tpu.lora import LoRA, extract_lora, merge, save_kohya
 
     final = state.ema if cfg.use_ema else state.student
-    if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1:
+    if cfg.fsdp > 1 or cfg.tp > 1 or cfg.pp > 1 or cfg.ep > 1:
         # gather shards → every host holds the full tree; pull to host so
         # the (main-process-only) merge/SVD below never touches the mesh
         final = jax.tree.map(

@@ -51,6 +51,8 @@ def build(
     gradient_checkpointing: bool = False,
     mixed_precision: Optional[str] = None,
     allow_pooled_standin: bool = False,
+    moe_experts: int = 0,
+    moe_top_k: int = 2,
 ) -> FamilyBundle:
     """Construct the training bundle for `--model_family`.
 
@@ -64,7 +66,9 @@ def build(
     the MXU-native equivalent), None → the config's own default.
     `allow_pooled_standin` opts an SD3 run into the masked-mean pooled
     stand-in when the batch carries no real CLIP pooled vectors (always
-    allowed in tiny smoke mode)."""
+    allowed in tiny smoke mode). `moe_experts > 0` (pixart only) swaps each
+    block's MLP for a top-k mixture-of-experts (models/moe.py — research
+    extension; shard over an 'ep' mesh axis with `--ep`)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +77,10 @@ def build(
     if family not in FAMILIES:
         raise ValueError(
             f"unknown --model_family {family!r}; choose from {FAMILIES}"
+        )
+    if moe_experts > 0 and family != "pixart":
+        raise ValueError(
+            f"--moe_experts is a pixart-family extension (got {family!r})"
         )
     lat = 8 if tiny else max(resolution // 8, 8)
 
@@ -106,6 +114,10 @@ def build(
             mcfg = dataclasses.replace(mcfg, sample_size=lat)
         if gradient_checkpointing:
             mcfg = dataclasses.replace(mcfg, remat=True)
+        if moe_experts > 0:
+            mcfg = dataclasses.replace(
+                mcfg, moe_experts=moe_experts, moe_top_k=moe_top_k
+            )
         mcfg = apply_mp(mcfg)
         model = pixart.PixArtTransformer2D(cfg=mcfg)
         shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)

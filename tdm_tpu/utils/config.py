@@ -114,13 +114,26 @@ class TrainConfig:
     # parallelism of the scan-stacked layer axis (parallel/pp.py; no
     # reference analog): each stage holds only L/pp layers of weights +
     # optimizer state, microbatched activations rotate via ppermute.
-    # pixart/cogvideox; composes with --fsdp (('data','pp','fsdp') mesh,
-    # ZeRO-3 inside each stage's layer slice), not with --tp yet.
+    # pixart/cogvideox; composes with --fsdp AND --tp
+    # (('data','pp','fsdp','tp') mesh — both stay automatic inside the pp
+    # shard_map, GSPMD inserts the gathers/psums per stage).
     pp: int = 1
     # microbatches per pipeline tick (0 = one per stage). Larger values
     # shrink the (S-1)/(M+S-1) bubble at the cost of smaller per-tick
     # matmuls; must divide the per-data-rank batch.
     pp_microbatches: int = 0
+    # TPU extension: devices on the 'ep' mesh axis — expert parallelism for
+    # a mixture-of-experts student (models/moe.py; requires
+    # --moe_experts > 0, pixart family). Composes with --fsdp:
+    # ('data','fsdp','ep') mesh, expert stacks shard over 'ep', everything
+    # else ZeRO-3 over 'fsdp'.
+    ep: int = 1
+    # research extension: distill a mixture-of-experts PixArt student —
+    # swaps each block's MLP for a top-k MoE (PixArtConfig.moe_experts).
+    # 0 = dense (reference parity). The teacher must share the layout
+    # (smoke mode initializes one; real runs need MoE teacher weights).
+    moe_experts: int = 0
+    moe_top_k: int = 2
     # TPU extension: cap the local devices joining the mesh (0 = all).
     # The accelerate `--num_processes` analog (README.md:160) — handy for
     # pinning a debug run to one chip of a pod (or one virtual device in

@@ -185,3 +185,63 @@ def test_moe_pixart_forward_and_grad_step():
     np.testing.assert_allclose(
         np.asarray(out_sh, np.float32), np.asarray(ref, np.float32), atol=3e-5
     )
+
+
+def test_train_cli_expert_parallel(tmp_path, monkeypatch):
+    """`--moe_experts 4 --ep 2` distills a tiny MoE PixArt end to end
+    through the CLI: ('data','fsdp','ep') mesh, expert stacks of the full
+    TrainState (student/critic/EMA/optimizer + teacher) sharded over 'ep'
+    via moe.ep_shardings, the jitted TDM step, and final artifacts."""
+    import json
+    import os
+
+    monkeypatch.setenv("TDM_TINY_MODEL", "1")
+    monkeypatch.delenv("TDM_EMBEDDING_CACHE", raising=False)
+    monkeypatch.delenv("TDM_TAESD_DIR", raising=False)
+
+    from tdm_tpu.cli import train_tdm
+
+    out = str(tmp_path / "run_moe")
+    train_tdm.main([
+        "--output_dir", out,
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "5",
+        "--learning_rate", "1e-4",
+        "--cfg", "4.5",
+        "--total_steps", "900",
+        "--seed", "0",
+        "--moe_experts", "4",
+        "--ep", "2",
+        "--max_devices", "4",
+    ])
+    out_dir = f"{out}_cfg4.5_steps900"
+    with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all(abs(r["loss_student"]) < 1e6 for r in rows)
+    assert os.path.exists(os.path.join(out_dir, "student.safetensors"))
+
+
+def test_train_cli_moe_flag_validation():
+    from tdm_tpu.cli import train_tdm
+
+    base = [
+        "--output_dir", "/tmp/unused_moe_validation",
+        "--train_data_dir", "",
+        "--dataset_name", "unused",
+        "--max_train_steps", "1",
+    ]
+    with pytest.raises(ValueError, match="--ep requires"):
+        train_tdm.main(base + ["--ep", "2"])
+    with pytest.raises(ValueError, match="fsdp only"):
+        train_tdm.main(
+            base + ["--moe_experts", "4", "--ep", "2", "--tp", "2"]
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        train_tdm.main(base + ["--moe_experts", "3", "--ep", "2"])
+    with pytest.raises(ValueError, match="pixart-family"):
+        train_tdm.main(
+            base + ["--moe_experts", "4", "--model_family", "sd15"]
+        )

@@ -245,3 +245,55 @@ def test_train_cli_moe_flag_validation():
         train_tdm.main(
             base + ["--moe_experts", "4", "--model_family", "sd15"]
         )
+
+
+def test_routing_matches_bruteforce_reference():
+    """The einsum dispatch/combine must match an independent per-token
+    python reference implementing the same GShard rules (top-k by prob,
+    slot-major capacity priority, gate renormalization, drops) — at a
+    capacity factor low enough that a third of the slots drop."""
+    import math
+
+    rng = np.random.default_rng(0)
+    b, s, d, e, k = 2, 12, 8, 4, 2
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    m = MoEFeedForward(num_experts=e, top_k=k, mult=2, capacity_factor=0.6)
+    p = _init(m, x, key=1)
+    out = np.asarray(m.apply({"params": p}, x))
+
+    xt = np.asarray(x).reshape(-1, d)
+    t_total = xt.shape[0]
+    logits = xt @ np.asarray(p["router"]["kernel"])
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    topk_idx = np.argsort(-probs, axis=-1)[:, :k]
+    topk_val = np.take_along_axis(probs, topk_idx, axis=-1)
+    topk_val /= np.maximum(topk_val.sum(-1, keepdims=True), 1e-9)
+    cap = max(1, min(math.ceil(0.6 * k * t_total / e), t_total))
+    counts = np.zeros(e, int)
+    assign = []
+    for slot in range(k):  # slot-major priority
+        for tok in range(t_total):
+            ex = int(topk_idx[tok, slot])
+            if counts[ex] < cap:
+                assign.append((tok, ex, topk_val[tok, slot]))
+                counts[ex] += 1
+    assert 0 < len(assign) < k * t_total  # some kept, some dropped
+
+    w_in = np.asarray(p["experts_in"])
+    b_in = np.asarray(p["experts_in_bias"])
+    w_out = np.asarray(p["experts_out"])
+    b_out = np.asarray(p["experts_out_bias"])
+
+    def gelu(v):
+        return 0.5 * v * (
+            1 + np.tanh(np.sqrt(2 / np.pi) * (v + 0.044715 * v**3))
+        )
+
+    ref = np.zeros_like(xt)
+    for tok, ex, gate in assign:
+        h = gelu(xt[tok] @ w_in[ex] + b_in[ex])
+        ref[tok] += gate * (h @ w_out[ex] + b_out[ex])
+    np.testing.assert_allclose(
+        out, ref.reshape(b, s, d), atol=2e-5
+    )

@@ -144,7 +144,8 @@ def main(argv: Optional[list[str]] = None) -> None:
             n_dev // n_model, max(cfg.fsdp, 1), cfg.tp, devices=devices
         )
     else:
-        mesh = pmesh.make_mesh(n_dev // cfg.fsdp, cfg.fsdp, devices=devices)
+        n_fsdp = max(cfg.fsdp, 1)
+        mesh = pmesh.make_mesh(n_dev // n_fsdp, n_fsdp, devices=devices)
     # --train_batch_size is PER-DATA-RANK (reference src/args.py: "per
     # device" under DDP/ZeRO, where every device is a data rank). Data
     # ranks = data x fsdp devices (batch_sharding shards rows over both —
@@ -510,6 +511,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     # inside the step (all draws are batch-shaped from this one key).
     rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
     micro_step = 0
+    profiling = False  # an open jax.profiler trace to close on exit
     uncond = None  # built once: bit-identical every step (constant shapes)
 
     def to_global(cond_local):
@@ -628,17 +630,24 @@ def main(argv: Optional[list[str]] = None) -> None:
             # trace the next N steady-state steps (xplane dump for xprof)
             prof_dir = os.path.join(out_dir, "profile")
             jax.profiler.start_trace(prof_dir)
+            profiling = True
         if (
-            cfg.profile_steps > 0
-            and global_step == 10 + cfg.profile_steps
-            and main_process
+            profiling
+            and global_step >= 10 + cfg.profile_steps
         ):
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
+            profiling = False
             logger.info("profile written to %s/profile", out_dir)
         if stop_signal["signum"] is not None:
             break
 
+    if profiling:
+        # loop ended (max steps / SIGTERM) mid-trace: close it so the
+        # xplane dump is written rather than lost with an open trace
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
+        logger.info("profile written to %s/profile", out_dir)
     for _sig, _h in prev_handlers.items():  # in-process callers keep theirs
         signal.signal(_sig, _h)
     mgr.wait()  # settle async saves so latest_step() sees them

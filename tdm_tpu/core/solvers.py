@@ -98,8 +98,10 @@ def ddpm_grid(
     if timestep_spacing == "linspace":
         ts = np.linspace(0, t_max - 1, num_steps + 1).round()[::-1][:-1]
     elif timestep_spacing == "leading":
-        step = t_max // (num_steps + 1)
-        ts = (np.arange(1, num_steps + 1) * step).round()[::-1] + steps_offset
+        # diffusers 'leading' (the SD1.5 scheduler convention): step_ratio
+        # = T // K, grid = arange(K)·ratio reversed, + steps_offset
+        step = t_max // num_steps
+        ts = (np.arange(0, num_steps) * step).round()[::-1] + steps_offset
     elif timestep_spacing == "trailing":
         ts = np.arange(t_max, 0, -t_max / num_steps).round() - 1
     else:

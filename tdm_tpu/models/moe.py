@@ -162,10 +162,19 @@ class MoEFeedForward(nn.Module):
 
 def moe_aux_loss(variables: Any) -> jnp.ndarray:
     """Sum every sowed `moe_aux` entry in an `apply(mutable=["losses"])`
-    variables dict (scan-stacked layers contribute a [L] vector)."""
+    variables dict (scan-stacked layers contribute a [L] vector). Only
+    `moe_aux` leaves count — other diagnostics sowed into "losses" by
+    other modules are ignored."""
     total = jnp.zeros((), jnp.float32)
-    for leaf in jax.tree.leaves(variables.get("losses", {})):
-        total = total + jnp.sum(leaf)
+    flat = jax.tree_util.tree_flatten_with_path(
+        variables.get("losses", {})
+    )[0]
+    for path, leaf in flat:
+        keys = {
+            str(getattr(p, "key", getattr(p, "name", ""))) for p in path
+        }
+        if "moe_aux" in keys:
+            total = total + jnp.sum(leaf)
     return total
 
 
@@ -182,7 +191,13 @@ def ep_shardings(
     (axis 0 there is the layer axis). Non-expert leaves follow `base_rule`
     (a (path_names, shape) → PartitionSpec callable, e.g. a partial of
     `parallel.tp.tp_fsdp_spec`) or stay replicated — the same name-driven
-    GSPMD annotation style as `parallel/tp.py`."""
+    GSPMD annotation style as `parallel/tp.py`.
+
+    Raises when an expert leaf's expert dim does not divide the mesh's
+    `ep_axis` size — silently replicating the expert stacks would be a
+    run with no expert parallelism at all (OOM at full size). Leaves whose
+    SHAPE doesn't expose the expert axis at the expected position (e.g.
+    blockwise-quantized optimizer mirrors) fall through to `base_rule`."""
     n_ep = mesh.shape[ep_axis]
 
     def spec(path, leaf):
@@ -192,7 +207,14 @@ def ep_shardings(
         shape = getattr(leaf, "shape", ())
         if any(n.startswith("experts") for n in names):
             ax = 1 if blocks_key in names else 0
-            if len(shape) > ax and shape[ax] % n_ep == 0:
+            if len(shape) > ax:
+                if shape[ax] % n_ep:
+                    raise ValueError(
+                        f"expert leaf {'/'.join(names)} has "
+                        f"{shape[ax]} experts on axis {ax}, not divisible "
+                        f"by the {ep_axis!r} mesh axis ({n_ep}) — pick a "
+                        "divisor or drop the ep axis"
+                    )
                 s = [None] * len(shape)
                 s[ax] = ep_axis
                 return NamedSharding(mesh, P(*s))

@@ -297,3 +297,29 @@ def test_routing_matches_bruteforce_reference():
     np.testing.assert_allclose(
         out, ref.reshape(b, s, d), atol=2e-5
     )
+
+
+def test_ep_shardings_rejects_indivisible_expert_count():
+    """Silently replicating the expert stacks would be a run with NO expert
+    parallelism — ep_shardings must raise instead (quantized 1-D optimizer
+    mirrors still fall through to the base rule)."""
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "ep"))
+    bad = {"experts_in": jnp.zeros((6, 8, 16))}  # 6 experts, ep=4
+    with pytest.raises(ValueError, match="not divisible"):
+        ep_shardings(bad, mesh)
+    # 1-D mirrors (blockwise-int8 values/scales) don't expose the expert
+    # axis -> base rule, no raise
+    flat = {"blocks": {"ff": {"experts_in": jnp.zeros((1536,), jnp.int8)}}}
+    sh = ep_shardings(flat, mesh)
+    assert "ep" not in str(sh["blocks"]["ff"]["experts_in"].spec)
+
+
+def test_moe_aux_loss_ignores_foreign_losses_entries():
+    vs = {
+        "losses": {
+            "blocks": {"ff": {"moe_aux": (jnp.asarray([1.0, 2.0]),)}},
+            "other": {"z_loss": (jnp.asarray(100.0),)},
+        }
+    }
+    np.testing.assert_allclose(float(moe_aux_loss(vs)), 3.0)

@@ -278,3 +278,14 @@ def test_lcm_recovers_point_mass():
         denoise_fn, grid, noise, None, rng=jax.random.PRNGKey(2)
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(x0_target), atol=1e-3)
+
+
+def test_ddpm_grid_leading_spacing_matches_diffusers_convention():
+    """'leading' = SD1.5 scheduler convention: step_ratio = T // K,
+    grid = arange(K)·ratio reversed + steps_offset → [751,501,251,1] for
+    K=4, T=1000, offset=1."""
+    s = sched.ddpm_linear()
+    g = solvers.ddpm_grid(s, 4, timestep_spacing="leading", steps_offset=1)
+    np.testing.assert_array_equal(
+        np.asarray(g.model_t, np.int64), [751, 501, 251, 1]
+    )

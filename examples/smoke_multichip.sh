@@ -34,3 +34,13 @@ python -m tdm_tpu.cli.train_tdm \
   --learning_rate 1e-4 --seed 0 --pp 2
 
 echo "--- pp metrics ---"; cat "${OUT}_pp_cfg4.5_steps900/logs/metrics.jsonl"
+
+# expert-parallel variant: a mixture-of-experts student (models/moe.py) —
+# each block's MLP becomes 4 routed experts, and the expert stacks shard
+# over the 'ep' axis of a ('data','fsdp','ep') mesh (research extension).
+python -m tdm_tpu.cli.train_tdm \
+  --output_dir "${OUT}_ep" --train_data_dir "" --dataset_name smoke \
+  --train_batch_size 2 --max_train_steps 2 --checkpointing_steps 2 \
+  --learning_rate 1e-4 --seed 0 --moe_experts 4 --ep 2 --max_devices 4
+
+echo "--- ep metrics ---"; cat "${OUT}_ep_cfg4.5_steps900/logs/metrics.jsonl"

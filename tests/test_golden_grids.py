@@ -96,6 +96,36 @@ def test_golden_sd3_dpm_solver():
     _check("sd3_tiny_4nfe_dpm", np.asarray(latents, np.float32))
 
 
+def test_golden_sd3_unipc():
+    """Same tiny SD3 tuple through the UniPC predictor–corrector
+    (solver='unipc') — pins the corrector's numerics, which no analytic
+    test covers once the denoiser is a real network."""
+    from tdm_tpu.models import mmdit_sd3
+
+    cfg = mmdit_sd3.MMDiTConfig.tiny()
+    model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
+    b = 2
+    noise = jax.random.normal(
+        jax.random.PRNGKey(8888),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(44), (b, 6, cfg.context_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(45), (b, cfg.pooled_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(9), noise, jnp.zeros((b,)), ctx, pooled
+    )["params"]
+    fn = mmdit_sd3.make_denoise_fn(model, params)
+    latents = solvers.sample_unipc(
+        fn, solvers.flow_grid(4, flow_shift=6.0), noise, (ctx, pooled)
+    )
+    # the corrector must actually bite: unipc != dpm on the same tuple
+    dpm = solvers.sample_dpm_solver(
+        fn, solvers.flow_grid(4, flow_shift=6.0), noise, (ctx, pooled)
+    )
+    assert not np.allclose(np.asarray(latents), np.asarray(dpm), atol=1e-4)
+    _check("sd3_tiny_4nfe_unipc", np.asarray(latents, np.float32))
+
+
 def test_golden_cogvideox_fewstep():
     """Tiny CogVideoX on the released checkpoints' trained grid
     t=[999,856,665,399] (reference README.md:129)."""

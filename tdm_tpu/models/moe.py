@@ -183,22 +183,32 @@ def ep_shardings(
     mesh: Mesh,
     *,
     ep_axis: str = EP_AXIS,
+    fsdp_axis: str = "fsdp",
     blocks_key: str = "blocks",
     base_rule=None,
+    min_size: int = 2**16,
 ) -> Any:
     """NamedShardings putting every expert leaf's expert axis on `ep_axis`:
     axis 0 for plain leaves, axis 1 under the scan-stacked `blocks` subtree
-    (axis 0 there is the layer axis). Non-expert leaves follow `base_rule`
-    (a (path_names, shape) → PartitionSpec callable, e.g. a partial of
-    `parallel.tp.tp_fsdp_spec`) or stay replicated — the same name-driven
-    GSPMD annotation style as `parallel/tp.py`.
+    (axis 0 there is the layer axis). When the mesh also has `fsdp_axis`
+    (>1), large expert leaves additionally ZeRO-3-shard their largest
+    remaining divisible dim over it (the pp_fsdp_shardings composition) —
+    without this, an ('data','fsdp','ep') mesh would leave the
+    expert-dominated tree no smaller per chip than pure ZeRO-3 at equal
+    device count (caught by tests/test_hbm_audit.py). Non-expert leaves
+    follow `base_rule` (a (path_names, shape) → PartitionSpec callable,
+    e.g. a partial of `parallel.tp.tp_fsdp_spec`) or stay replicated —
+    the same name-driven GSPMD annotation style as `parallel/tp.py`.
 
     Raises when an expert leaf's expert dim does not divide the mesh's
     `ep_axis` size — silently replicating the expert stacks would be a
     run with no expert parallelism at all (OOM at full size). Leaves whose
     SHAPE doesn't expose the expert axis at the expected position (e.g.
     blockwise-quantized optimizer mirrors) fall through to `base_rule`."""
+    import numpy as _np
+
     n_ep = mesh.shape[ep_axis]
+    n_fsdp = dict(mesh.shape).get(fsdp_axis, 1)
 
     def spec(path, leaf):
         names = [
@@ -215,8 +225,21 @@ def ep_shardings(
                         f"by the {ep_axis!r} mesh axis ({n_ep}) — pick a "
                         "divisor or drop the ep axis"
                     )
-                s = [None] * len(shape)
+                s: list = [None] * len(shape)
                 s[ax] = ep_axis
+                if (
+                    n_fsdp > 1
+                    and int(_np.prod(shape)) // n_ep >= min_size
+                ):
+                    # largest divisible dim AFTER the expert axis (never
+                    # the scan layer axis or the expert axis); ties →
+                    # later dim
+                    best, best_i = -1, None
+                    for i, d in enumerate(shape):
+                        if i > ax and d % n_fsdp == 0 and d >= best:
+                            best, best_i = d, i
+                    if best_i is not None:
+                        s[best_i] = fsdp_axis
                 return NamedSharding(mesh, P(*s))
         if base_rule is not None:
             return NamedSharding(mesh, base_rule(names, shape))

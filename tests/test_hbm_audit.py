@@ -191,3 +191,63 @@ def test_audit_reports_realistic_scale():
     assert total > 4e9, f"SD3 audit total suspiciously small: {total / 1e9:.2f} GB"
     p_bytes = _total_bytes(teacher)
     assert p_bytes > 1e9
+
+
+def test_full_size_moe_state_ep_cuts_expert_residency():
+    """EP placement audit: a full-size MoE-PixArt (8 experts — expert MLPs
+    multiply the block params ~8x over dense) TDM state on a
+    ('data','fsdp','ep') v5p-8 mesh under moe.ep_shardings(+ZeRO-3 base).
+    The expert stacks dominate the tree, so per-chip residency must land
+    near total/(ep) for the expert leaves — i.e. the ep axis genuinely
+    cuts HBM, not just relabels it — and the whole state must fit the
+    budget."""
+    from tdm_tpu.models.moe import ep_shardings
+    from tdm_tpu.parallel import mesh as pmesh
+
+    bundle = families.build("pixart", tiny=False, moe_experts=8)
+    params = jax.eval_shape(bundle.init_params, jax.random.PRNGKey(0))
+    tx = optim.make_optimizer(1e-5, eight_bit=True)
+    state = jax.eval_shape(
+        lambda p: tdm.init_state(p, p, tx, tx, use_ema=True), params
+    )
+    mesh = AbstractMesh((2, 2, 2), ("data", "fsdp", "ep"))
+
+    def rule(tree, m):
+        return ep_shardings(
+            tree, m,
+            base_rule=lambda names, shape: pmesh.fsdp_spec(shape, 2),
+        )
+
+    per_chip = _per_chip_state_bytes(state, mesh, rule) + _per_chip_state_bytes(
+        params, mesh, rule
+    )
+    budget = V5P_HBM_BYTES * STATE_BUDGET_FRACTION
+    assert per_chip < budget, f"{per_chip / 1e9:.1f} GB/chip over budget"
+    total = _total_bytes(state) + _total_bytes(params)
+    # expert-dominated tree: ep(2) x fsdp(2) must cut residency well below
+    # a replicated or fsdp-only layout on the same device count
+    assert per_chip < total / 2, (
+        f"ep placement left {per_chip / 1e9:.1f} GB/chip of "
+        f"{total / 1e9:.1f} GB total — the ep axis isn't cutting residency"
+    )
+    # and vs an fsdp-only placement of the same tree (no ep axis used),
+    # the ep layout must be strictly smaller: the expert dim is sharded
+    # ON TOP of the fsdp dim for the dominant leaves
+    fsdp_only = _per_chip_state_bytes(
+        state, mesh,
+        lambda t, m: jax.tree.map(
+            lambda l: __import__("jax").sharding.NamedSharding(
+                m, pmesh.fsdp_spec(getattr(l, "shape", ()), 2)
+            ),
+            t,
+        ),
+    ) + _per_chip_state_bytes(
+        params, mesh,
+        lambda t, m: jax.tree.map(
+            lambda l: __import__("jax").sharding.NamedSharding(
+                m, pmesh.fsdp_spec(getattr(l, "shape", ()), 2)
+            ),
+            t,
+        ),
+    )
+    assert per_chip < 0.7 * fsdp_only, (per_chip, fsdp_only)

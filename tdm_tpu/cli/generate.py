@@ -33,6 +33,10 @@ def parse_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
     p.add_argument("--prompt", nargs="+", required=True)
     p.add_argument("--negative_prompt", nargs="+", default=None)
     p.add_argument("--num_inference_steps", type=int, default=4)
+    p.add_argument("--num_images_per_prompt", type=int, default=1,
+                   help="N outputs per prompt in one batched call "
+                        "(reference README.md:103; videos per prompt on "
+                        "the video pipeline)")
     p.add_argument("--guidance_scale", type=float, default=1.0)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
@@ -246,6 +250,11 @@ def main(argv: Optional[list[str]] = None) -> None:
         v = getattr(args, k)
         if v is not None:
             call[k] = v
+    if args.num_images_per_prompt != 1:
+        # image pipelines take num_images_per_prompt, the video pipeline
+        # num_videos_per_prompt — run_pipeline keeps the accepted key
+        call["num_images_per_prompt"] = args.num_images_per_prompt
+        call["num_videos_per_prompt"] = args.num_images_per_prompt
     if args.solver is not None:
         # loud, not a silent drop: the video recipe samples on its trained
         # fewstep grid and takes no solver knob (reference README.md:129)
@@ -274,15 +283,15 @@ def main(argv: Optional[list[str]] = None) -> None:
         print(f"wrote {path} {imgs.shape}")
         return
     is_video = imgs.ndim == 5  # [B, F, H, W, 3]
-    single = len(prompts) == 1
+    n_out = imgs.shape[0]  # len(prompts) × num_images_per_prompt
     ext = ".gif" if is_video else ".png"
-    if single and args.output.lower().endswith((".png", ".gif")):
+    if n_out == 1 and args.output.lower().endswith((".png", ".gif")):
         targets = [args.output]
     else:
         os.makedirs(args.output, exist_ok=True)
         targets = [
             os.path.join(args.output, f"{i:03d}{ext}")
-            for i in range(len(prompts))
+            for i in range(n_out)
         ]
     for i, path in enumerate(targets):
         if is_video:

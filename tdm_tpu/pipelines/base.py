@@ -291,6 +291,27 @@ class DiffusionPipelineBase:
         return jax.random.PRNGKey(0 if seed is None else seed)
 
     @staticmethod
+    def repeat_per_prompt(tree: Any, n: int) -> Any:
+        """diffusers' `num_images_per_prompt` semantics (the Dreamshaper
+        recipe passes it, reference README.md:103): tile every batch-axis
+        leaf of a conditioning tree n× with repeat_interleave order, so
+        prompt i's images occupy rows [i·n, (i+1)·n). Applied to cond AND
+        uncond trees before the batch size is read — the sampler then runs
+        one [B·n]-batched jitted call."""
+        if n == 1 or tree is None:
+            return tree
+        if n < 1:
+            raise ValueError(f"num_images_per_prompt must be >= 1, got {n}")
+        return jax.tree.map(
+            lambda x: (
+                jnp.repeat(jnp.asarray(x), n, axis=0)
+                if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0
+                else x
+            ),
+            tree,
+        )
+
+    @staticmethod
     def initial_noise(
         latents: Optional[Any], rng: jax.Array, shape: tuple
     ) -> jnp.ndarray:

@@ -89,6 +89,7 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         prompt_embeds: Optional[jnp.ndarray] = None,
         negative_embeds: Optional[jnp.ndarray] = None,
         num_inference_steps: int = 4,
+        num_videos_per_prompt: int = 1,
         guidance_scale: float = 1.0,
         num_frames: int = 49,
         height: int = 480,
@@ -106,6 +107,12 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         if use_cfg and uncond is None:
             uncond = jnp.zeros_like(prompt_embeds)
 
+        # diffusers CogVideoXPipeline's num_videos_per_prompt (the video
+        # analog of README.md:103's num_images_per_prompt)
+        prompt_embeds = self.repeat_per_prompt(
+            prompt_embeds, num_videos_per_prompt
+        )
+        uncond = self.repeat_per_prompt(uncond, num_videos_per_prompt)
         c = self.vae_cfg
         f_lat = 1 + (num_frames - 1) // c.temporal_factor
         lat_h, lat_w = height // c.spatial_factor, width // c.spatial_factor

@@ -84,6 +84,7 @@ class PixArtPipeline(DiffusionPipelineBase):
         prompt_embeds: Optional[tuple] = None,
         negative_embeds: Optional[tuple] = None,
         num_inference_steps: int = 4,
+        num_images_per_prompt: int = 1,
         guidance_scale: float = 1.0,
         height: int = 512,
         width: int = 512,
@@ -108,6 +109,9 @@ class PixArtPipeline(DiffusionPipelineBase):
                 )
             uncond = negative_embeds
 
+        # diffusers' num_images_per_prompt (reference README.md:103)
+        cond = self.repeat_per_prompt(cond, num_images_per_prompt)
+        uncond = self.repeat_per_prompt(uncond, num_images_per_prompt)
         b = jax.tree.leaves(cond)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8
         noise = self.initial_noise(

@@ -75,6 +75,7 @@ class SD15Pipeline(DiffusionPipelineBase):
         prompt_embeds: Optional[tuple] = None,
         negative_embeds: Optional[tuple] = None,
         num_inference_steps: int = 4,
+        num_images_per_prompt: int = 1,
         guidance_scale: float = 1.0,
         height: int = 512,
         width: int = 512,
@@ -97,6 +98,11 @@ class SD15Pipeline(DiffusionPipelineBase):
                 )
             uncond = negative_embeds
 
+        # reference README.md:103 (Dreamshaper recipe): N images per prompt
+        prompt_embeds = self.repeat_per_prompt(
+            prompt_embeds, num_images_per_prompt
+        )
+        uncond = self.repeat_per_prompt(uncond, num_images_per_prompt)
         b = jax.tree.leaves(prompt_embeds)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8
         noise = self.initial_noise(

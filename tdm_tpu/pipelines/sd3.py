@@ -117,6 +117,7 @@ class SD3Pipeline(DiffusionPipelineBase):
         prompt_embeds: Optional[tuple] = None,
         negative_embeds: Optional[tuple] = None,
         num_inference_steps: int = 4,
+        num_images_per_prompt: int = 1,
         guidance_scale: float = 1.0,
         height: int = 1024,
         width: int = 1024,
@@ -140,6 +141,11 @@ class SD3Pipeline(DiffusionPipelineBase):
                 )
             uncond = negative_embeds
 
+        # diffusers' num_images_per_prompt (reference README.md:103)
+        prompt_embeds = self.repeat_per_prompt(
+            prompt_embeds, num_images_per_prompt
+        )
+        uncond = self.repeat_per_prompt(uncond, num_images_per_prompt)
         shift = self.flow_shift if flow_shift is None else flow_shift
         b = jax.tree.leaves(prompt_embeds)[0].shape[0]
         lat_h, lat_w = height // 8, width // 8

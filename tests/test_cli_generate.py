@@ -119,6 +119,24 @@ def test_generate_batch_to_dir_with_cfg(pixart_pipe_dir, cache_path, tmp_path):
     assert sorted(os.listdir(out)) == ["000.png", "001.png"]
 
 
+def test_generate_num_images_per_prompt(pixart_pipe_dir, cache_path, tmp_path):
+    """--num_images_per_prompt N → N files per prompt, prompt-major order
+    (reference README.md:103)."""
+    d, _ = pixart_pipe_dir
+    out = str(tmp_path / "multi")
+    generate.main([
+        "--model", d, "--prompt", PROMPTS[0],
+        "--embedding_cache", cache_path,
+        "--num_inference_steps", "2", "--seed", "8888",
+        "--num_images_per_prompt", "3",
+        "--height", "128", "--width", "128",
+        "--output", out,
+    ])
+    # file-count/order is the CLI contract here; per-image pixel variety
+    # is pinned in tests/test_pipelines.py::test_num_images_per_prompt
+    assert sorted(os.listdir(out)) == ["000.png", "001.png", "002.png"]
+
+
 def test_generate_with_lora_scale(pixart_pipe_dir, cache_path, tmp_path):
     """--lora + --lora_scale: the released-checkpoint recipe verbs
     (README.md:49-50). Scale 0 must reproduce the base output exactly."""

@@ -97,6 +97,31 @@ def test_pixart_cfg_changes_output(pixart_pipe):
     assert not np.allclose(np.asarray(a.images), np.asarray(b.images))
 
 
+def test_num_images_per_prompt(pixart_pipe):
+    """diffusers' num_images_per_prompt (reference README.md:103): N
+    images per prompt in repeat_interleave order — pipe([A,B], n=2) with
+    pinned latents must equal pipe([A,A,B,B], n=1) on the same latents."""
+    noise = jax.random.normal(jax.random.PRNGKey(5), (4, 4, 16, 16), jnp.bfloat16)
+    multi = pixart_pipe(
+        ["a cat", "a dog"], num_images_per_prompt=2,
+        height=128, width=128, latents=noise,
+    )
+    assert multi.images.shape == (4, 32, 32, 3)
+    manual = pixart_pipe(
+        ["a cat", "a cat", "a dog", "a dog"],
+        height=128, width=128, latents=noise,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(multi.images), np.asarray(manual.images)
+    )
+    # distinct noise rows → the two images of one prompt differ
+    assert not np.allclose(
+        np.asarray(multi.images[0]), np.asarray(multi.images[1])
+    )
+    with pytest.raises(ValueError, match="num_images_per_prompt"):
+        pixart_pipe(["a cat"], num_images_per_prompt=0, height=128, width=128)
+
+
 def test_lora_verbs(pixart_pipe, tmp_path):
     base = pixart_pipe(["a cat"], height=128, width=128, seed=3)
     rng = jax.random.PRNGKey(9)

@@ -86,6 +86,7 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         self,
         prompt: Optional[list[str]] = None,
         *,
+        negative_prompt: Optional[list[str]] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,
         negative_embeds: Optional[jnp.ndarray] = None,
         num_inference_steps: int = 4,
@@ -105,7 +106,17 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         use_cfg = guidance_scale is not None and guidance_scale > 1.0
         uncond = negative_embeds if use_cfg else None
         if use_cfg and uncond is None:
-            uncond = jnp.zeros_like(prompt_embeds)
+            if self.tokenizer is not None and self.text_encoder is not None:
+                # diffusers CogVideoXPipeline encodes the (default-empty)
+                # negative prompt; fall back to a zero embedding only when
+                # no encoder is attached (cached-embeds serving)
+                uncond = self.encode_prompt(
+                    negative_prompt
+                    if negative_prompt is not None
+                    else [""] * prompt_embeds.shape[0]
+                )
+            else:
+                uncond = jnp.zeros_like(prompt_embeds)
 
         # diffusers CogVideoXPipeline's num_videos_per_prompt (the video
         # analog of README.md:103's num_images_per_prompt)

@@ -258,6 +258,47 @@ def test_cogvideox_pipeline_video_decode():
     assert np.isfinite(np.asarray(out.images)).all()
 
 
+def test_cogvideox_negative_prompt_text_path():
+    """With encoders attached and cfg>1, `negative_prompt` text is ENCODED
+    (diffusers CogVideoXPipeline semantics), not replaced by a zero
+    embedding — so two different negative prompts give different videos
+    and num_videos_per_prompt fans the batch out."""
+    cfg = cog.CogVideoXConfig.tiny()
+    model = cog.CogVideoXTransformer3D(cfg=cfg)
+    lat = jnp.zeros((1, 16, cfg.sample_frames, cfg.sample_h, cfg.sample_w))
+    text = jnp.zeros((1, cfg.max_text_len, cfg.text_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text)[
+        "params"
+    ]
+    tcfg = t5_mod.T5Config.tiny()
+    enc = t5_mod.T5Encoder(cfg=tcfg)
+    mask = jnp.ones((1, cfg.max_text_len), jnp.int32)
+    tparams = enc.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, cfg.max_text_len), jnp.int32), mask,
+    )["params"]
+    assert tcfg.d_model == cfg.text_dim  # tiny configs line up
+    pipe = CogVideoXPipeline(
+        model, params,
+        text_encoder=enc, text_encoder_params=tparams,
+        tokenizer=FakeTokenizer(vocab=120),
+    )
+    num_frames = 1 + (cfg.sample_frames - 1) * pipe.vae_cfg.temporal_factor
+    kw = dict(
+        num_inference_steps=2, guidance_scale=4.0, num_frames=num_frames,
+        height=cfg.sample_h * pipe.vae_cfg.spatial_factor,
+        width=cfg.sample_w * pipe.vae_cfg.spatial_factor,
+        seed=8888, output_type="latent",
+    )
+    a = pipe(["a panda plays guitar"], **kw)
+    b = pipe(["a panda plays guitar"], negative_prompt=["blurry ugly"], **kw)
+    assert not np.allclose(
+        np.asarray(a.latents, np.float32), np.asarray(b.latents, np.float32)
+    )
+    multi = pipe(["a panda plays guitar"], num_videos_per_prompt=2, **kw)
+    assert multi.latents.shape[0] == 2
+
+
 def test_cogvideox_pipeline_sequence_parallel_matches_monolithic():
     """Pipeline-level SP (sequence_parallel_mesh): latents match the
     monolithic pipeline bit-for-bit-ish on the same seed — the user-facing

@@ -21,6 +21,7 @@ class HFTokenizer:
     def __init__(self, path: str, **kwargs):
         from transformers import AutoTokenizer
 
+        self.path = path  # kept so pipe.save_pretrained can re-bundle it
         self._tok = AutoTokenizer.from_pretrained(
             path, local_files_only=True, **kwargs
         )

@@ -257,10 +257,14 @@ class DiffusionPipelineBase:
     def save_pretrained(self, path: str) -> None:
         """Write this pipeline as a loading.py layout-1 directory, loadable
         with `from_pretrained(path)`. Bundles the PRISTINE base params
-        (adapter merges are runtime state — re-load LoRA files after) and
-        the VAE decoder when attached; text encoders are not bundled here
-        (pass text_encoder_* to the functional `loading.save_pretrained`,
-        or use cached embeddings)."""
+        (adapter merges are runtime state — re-load LoRA files after), the
+        VAE decoder when attached, and a single attached text encoder
+        (T5/CLIP) with its tokenizer spec — so a pipeline assembled from a
+        stock diffusers checkout round-trips with prompts working. SD3's
+        triple-encoder stack is the exception (use cached embeddings or
+        the functional `loading.save_pretrained`)."""
+        import os
+
         from tdm_tpu.pipelines import loading
 
         denoiser = getattr(self, "transformer", None) or self.unet
@@ -269,6 +273,37 @@ class DiffusionPipelineBase:
             vae_cfg = self.vae_decoder.cfg
         elif getattr(self, "vae_cfg", None) is not None:
             vae_cfg = self.vae_cfg
+
+        text_kw: dict = {}
+        enc = getattr(self, "text_encoder", None)
+        enc_family = {"T5Encoder": "t5", "CLIPTextEncoder": "clip"}.get(
+            type(enc).__name__
+        )
+        if enc is not None and enc_family is not None:
+            from tdm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+
+            spec = {
+                "family": enc_family,
+                "config": loading.config_dict(enc.cfg),
+            }
+            tok = getattr(self, "tokenizer", None)
+            if isinstance(tok, HashTokenizer):
+                spec["tokenizer"] = {
+                    "kind": "hash",
+                    "vocab_size": tok.vocab_size,
+                    "eos_id": tok.eos_id,
+                }
+            elif isinstance(tok, HFTokenizer) and os.path.isdir(tok.path):
+                spec["tokenizer"] = {"kind": "hf"}
+                text_kw["tokenizer_dir"] = tok.path
+            # other tokenizers (test fakes, custom callables) can't be
+            # serialized — the encoder still bundles; prompts need a
+            # tokenizer reattached after load
+            text_kw.update(
+                text_encoder_params=self.text_encoder_params,
+                text_encoder_config=spec,
+            )
+
         loading.save_pretrained(
             path,
             family=self.family,
@@ -278,6 +313,7 @@ class DiffusionPipelineBase:
             vae_config=(
                 loading.config_dict(vae_cfg) if vae_cfg is not None else None
             ),
+            **text_kw,
         )
 
     # ---- misc ----

@@ -469,3 +469,45 @@ def test_pipe_save_pretrained_method_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(pipe(**kw).images), np.asarray(re(**kw).images)
     )
+
+
+def test_pipe_save_pretrained_bundles_text_encoder(tmp_path):
+    """pipe.save_pretrained on a pipeline with a T5 encoder + hash
+    tokenizer attached round-trips PROMPTS: the reloaded pipeline encodes
+    text itself and reproduces the original's images."""
+    from tdm_tpu.data.tokenizer import HashTokenizer
+    from tdm_tpu.models import t5 as t5_mod
+    from tdm_tpu.pipelines import PixArtPipeline
+
+    cfg = pixart.PixArtConfig.tiny()
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    lat = jnp.zeros((1, 4, 16, 16))
+    text = jnp.zeros((1, 8, cfg.caption_dim))
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), lat, jnp.zeros((1,)), text, mask
+    )["params"]
+    tcfg = t5_mod.T5Config.tiny()
+    enc = t5_mod.T5Encoder(cfg=tcfg)
+    tparams = enc.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32), mask
+    )["params"]
+    pipe = PixArtPipeline(
+        model, params,
+        text_encoder=enc, text_encoder_params=tparams,
+        tokenizer=HashTokenizer(vocab_size=120),
+        # default max_text_len on purpose: the reloaded pipeline uses the
+        # family default, and the parity check needs both to agree
+    )
+    d = str(tmp_path / "saved_enc")
+    pipe.save_pretrained(d)
+    re = from_pretrained(d)
+    assert re.text_encoder is not None and re.tokenizer is not None
+    kw = dict(
+        num_inference_steps=2, height=128, width=128, seed=7,
+        output_type="latent",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pipe(["a cat"], **kw).latents, np.float32),
+        np.asarray(re(["a cat"], **kw).latents, np.float32),
+    )

@@ -37,6 +37,19 @@ class PipelineOutput:
     images: Any
     latents: Any = None
 
+    @property
+    def frames(self) -> Any:
+        """diffusers' video accessor (`pipe(...).frames[0]`, reference
+        README.md:133-135): the decoded [B, F, H, W, 3] array. Only video
+        outputs have it — image outputs raise, like diffusers' image
+        pipeline outputs."""
+        if self.images is not None and getattr(self.images, "ndim", 0) == 5:
+            return self.images
+        raise AttributeError(
+            "frames is only available on video outputs ([B,F,H,W,3]); "
+            "use .images"
+        )
+
 
 class DiffusionPipelineBase:
     """Shared LoRA management + jit caching. Subclasses set `base_params`

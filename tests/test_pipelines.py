@@ -19,6 +19,7 @@ from tdm_tpu.models import (
 )
 from tdm_tpu.pipelines import (
     CogVideoXPipeline,
+    PipelineOutput,
     PixArtPipeline,
     SD3Pipeline,
     SD15Pipeline,
@@ -256,6 +257,10 @@ def test_cogvideox_pipeline_video_decode():
         cfg.sample_h * vcfg.spatial_factor, cfg.sample_w * vcfg.spatial_factor, 3,
     )
     assert np.isfinite(np.asarray(out.images)).all()
+    # diffusers accessor: pipe(...).frames[0] (reference README.md:133-135)
+    assert out.frames is out.images
+    with pytest.raises(AttributeError, match="video outputs"):
+        PipelineOutput(images=jnp.zeros((1, 8, 8, 3))).frames
 
 
 def test_cogvideox_negative_prompt_text_path():

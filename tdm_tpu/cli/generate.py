@@ -252,7 +252,17 @@ def main(argv: Optional[list[str]] = None) -> None:
             call[k] = v
     if args.num_images_per_prompt != 1:
         # image pipelines take num_images_per_prompt, the video pipeline
-        # num_videos_per_prompt — run_pipeline keeps the accepted key
+        # num_videos_per_prompt — run_pipeline keeps the accepted key.
+        # Loud, not a silent drop, when the pipeline takes neither
+        # (same contract as --solver below).
+        accepted = inspect.signature(type(pipe).__call__).parameters
+        if (
+            "num_images_per_prompt" not in accepted
+            and "num_videos_per_prompt" not in accepted
+        ):
+            raise SystemExit(
+                f"{type(pipe).__name__} has no --num_images_per_prompt knob"
+            )
         call["num_images_per_prompt"] = args.num_images_per_prompt
         call["num_videos_per_prompt"] = args.num_images_per_prompt
     if args.solver is not None:

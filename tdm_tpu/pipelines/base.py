@@ -46,8 +46,9 @@ class PipelineOutput:
         if self.images is not None and getattr(self.images, "ndim", 0) == 5:
             return self.images
         raise AttributeError(
-            "frames is only available on video outputs ([B,F,H,W,3]); "
-            "use .images"
+            "frames is only available on decoded video outputs "
+            "([B,F,H,W,3]); use .images for decoded images, or .latents "
+            "when the pipeline ran with output_type='latent'"
         )
 
 
@@ -276,6 +277,7 @@ class DiffusionPipelineBase:
         stock diffusers checkout round-trips with prompts working. SD3's
         triple-encoder stack is the exception (use cached embeddings or
         the functional `loading.save_pretrained`)."""
+        import logging
         import os
 
         from tdm_tpu.pipelines import loading
@@ -309,9 +311,19 @@ class DiffusionPipelineBase:
             elif isinstance(tok, HFTokenizer) and os.path.isdir(tok.path):
                 spec["tokenizer"] = {"kind": "hf"}
                 text_kw["tokenizer_dir"] = tok.path
-            # other tokenizers (test fakes, custom callables) can't be
-            # serialized — the encoder still bundles; prompts need a
-            # tokenizer reattached after load
+            elif tok is not None:
+                # other tokenizers (hub-id HFTokenizer, test fakes, custom
+                # callables) can't be serialized — the encoder still
+                # bundles, but raw-prompt calls on the reloaded pipeline
+                # need a tokenizer reattached. Warn NOW, not at first
+                # prompt after reload.
+                logging.getLogger(__name__).warning(
+                    "save_pretrained: tokenizer %r cannot be bundled "
+                    "(not a local-dir HFTokenizer or HashTokenizer); the "
+                    "reloaded pipeline will have tokenizer=None — "
+                    "reattach one before passing raw prompts",
+                    tok,
+                )
             text_kw.update(
                 text_encoder_params=self.text_encoder_params,
                 text_encoder_config=spec,
@@ -338,6 +350,21 @@ class DiffusionPipelineBase:
         if generator is not None:
             return generator
         return jax.random.PRNGKey(0 if seed is None else seed)
+
+    @staticmethod
+    def check_negative_prompt(
+        negative_prompt: Optional[Sequence[str]], batch_size: int
+    ) -> None:
+        """diffusers' `check_inputs` parity: a negative_prompt list whose
+        length disagrees with the prompt batch must fail as a clear
+        ValueError at the Python boundary, not as an opaque XLA shape error
+        inside the jitted sampler."""
+        if negative_prompt is not None and len(negative_prompt) != batch_size:
+            raise ValueError(
+                f"negative_prompt has {len(negative_prompt)} entries but "
+                f"the prompt batch is {batch_size}; pass one negative "
+                "prompt per prompt"
+            )
 
     @staticmethod
     def repeat_per_prompt(tree: Any, n: int) -> Any:

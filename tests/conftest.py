@@ -52,3 +52,30 @@ import jax  # noqa: E402  (sitecustomize already imported it anyway)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Fast lane: `pytest -m fast` is the <5-min dev gate (measured 4m31s warm-
+# cache on this box). Membership is by MODULE — these are the pure-math /
+# IO / core modules with no XLA:CPU SPMD compiles, which dominate the full
+# suite's 45-55 min wall-clock (docs/ENVIRONMENT_NOTES.md #6).
+# ---------------------------------------------------------------------------
+_FAST_MODULES = {
+    "test_schedules",
+    "test_solvers",
+    "test_sampling",
+    "test_convert",
+    "test_lora",
+    "test_data",
+    "test_params_io",
+    "test_hub",
+    "test_families",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)

@@ -123,6 +123,17 @@ def test_num_images_per_prompt(pixart_pipe):
         pixart_pipe(["a cat"], num_images_per_prompt=0, height=128, width=128)
 
 
+def test_negative_prompt_batch_mismatch_is_loud(pixart_pipe):
+    """diffusers check_inputs parity: a negative_prompt list that doesn't
+    match the prompt batch raises a clear ValueError at the Python
+    boundary, not an XLA shape error inside the jitted sampler."""
+    with pytest.raises(ValueError, match="negative_prompt"):
+        pixart_pipe(
+            ["a cat", "a dog"], negative_prompt=["ugly"],
+            guidance_scale=4.5, height=128, width=128,
+        )
+
+
 def test_lora_verbs(pixart_pipe, tmp_path):
     base = pixart_pipe(["a cat"], height=128, width=128, seed=3)
     rng = jax.random.PRNGKey(9)

@@ -289,3 +289,132 @@ def test_ddpm_grid_leading_spacing_matches_diffusers_convention():
     np.testing.assert_array_equal(
         np.asarray(g.model_t, np.int64), [751, 501, 251, 1]
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic order-of-accuracy (VERDICT r3 #6): Gaussian data + linear score
+# has a CLOSED-FORM probability-flow-ODE solution, independent of any
+# implementation — these tests catch a solver that was wrong from day one,
+# which self-generated golden pins cannot.
+#
+# Data ~ N(mu, c² I). Forward x_t = a·x0 + s·eps ⇒ marginal N(a·mu, v(t) I)
+# with v = (a c)² + s². The PF-ODE velocity is linear in x, so its flow map
+# is the unique monotone affine transport between the Gaussian marginals:
+#     x(t) = a_t·mu + sqrt(v_t / v_start) · (x_start - a_start·mu)
+# (verified against a 20k-step f64 RK4 integration: agreement to 2e-13).
+# The exact denoiser is the posterior mean E[x0|x_t] = mu + a c²(x - a mu)/v.
+#
+# The order sweep runs on grids terminating at a FIXED σ_min > 0 rather
+# than σ=0: the terminal step to σ=0 deliberately lands on the posterior
+# mean x̂0 (the standard last-step convention, exact-recovery-tested above),
+# which for rectified flow's α=1-σ differs from the true ODE endpoint by
+# O(σ_last) — a modeling choice, not multistep error, and it would mask the
+# order of the machinery under test. K tops out at 32: the f32 compute path
+# floors around 4e-4 max-abs error, which an order-2 method reaches there.
+# ---------------------------------------------------------------------------
+
+_MU, _C = 0.7, 0.35
+
+
+def _exact_flow_velocity(x, t, cond):
+    """Exact FLOW-prediction output (E[eps|x] - E[x0|x]) for N(mu, c²)."""
+    sig = (t / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+    a = 1.0 - sig
+    var = (a * _C) ** 2 + sig**2
+    x0_hat = _MU + (a * _C**2) * (x - a * _MU) / var
+    return (x - x0_hat) / jnp.maximum(sig, 1e-20)  # = eps_hat - x0_hat
+
+
+def _sigma_window_grid(k, smax=0.8, smin=0.05):
+    """Flow grid over σ ∈ [smin, smax] (σ_min > 0 — see block comment)."""
+    sig = np.linspace(smax, smin, k + 1)
+    return solvers.SolverGrid(
+        model_t=jnp.asarray(sig[:-1] * 1000.0, jnp.float32),
+        alphas=jnp.asarray(1.0 - sig, jnp.float32),
+        sigmas=jnp.asarray(sig, jnp.float32),
+        prediction_type=sched.FLOW,
+    )
+
+
+def _solver_errors(sample_fn, ks):
+    noise = jax.random.normal(jax.random.PRNGKey(11), (4, 4, 8, 8))
+    errs = []
+    for k in ks:
+        g = _sigma_window_grid(k)
+        a0, s0 = float(g.alphas[0]), float(g.sigmas[0])
+        v0 = (a0 * _C) ** 2 + s0**2
+        # start from a sample of the TRUE level-0 marginal so the analytic
+        # transport applies to this exact initial condition
+        x_start = a0 * _MU + np.sqrt(v0) * np.asarray(noise)
+        aK, sK = float(g.alphas[-1]), float(g.sigmas[-1])
+        vK = (aK * _C) ** 2 + sK**2
+        exact = aK * _MU + np.sqrt(vK / v0) * (x_start - a0 * _MU)
+        out = sample_fn(g, jnp.asarray(x_start, jnp.float32))
+        errs.append(float(np.max(np.abs(np.asarray(out) - exact))))
+    return errs
+
+
+def test_dpm_2m_empirical_order_two():
+    """DPM-Solver++(2M) global error must shrink ≥~3× per step doubling
+    (empirical order ≥ 2; measured ~[3.5, 2.8]) against the closed-form
+    Gaussian PF-ODE transport, and be accurate in absolute terms."""
+    errs = _solver_errors(
+        lambda g, x: solvers.sample_dpm_solver(_exact_flow_velocity, g, x, None),
+        [8, 16, 32],
+    )
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert min(orders) > 1.6, (errs, orders)
+    assert errs[-1] < 2e-3, errs
+
+
+def test_unipc_empirical_order_two():
+    """UniPC (bh2, corrector on) must show ≥2nd-order empirical convergence
+    (measured ~[2.6, 2.0]) on the analytic problem."""
+    errs = _solver_errors(
+        lambda g, x: solvers.sample_unipc(_exact_flow_velocity, g, x, None),
+        [8, 16, 32],
+    )
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert min(orders) > 1.6, (errs, orders)
+    assert errs[-1] < 5e-3, errs
+
+
+def test_lcm_gaussian_moment_recursion():
+    """LCM stochastic sampling on the Gaussian-data analytic denoiser must
+    reproduce the CLOSED-FORM moment recursion of the chain
+        x_{i+1} = a_{i+1}·x0hat(x_i) + s_{i+1}·eps,  eps fresh
+    where x0hat is linear: x0hat = mu + k_i (x - a_i mu), k_i = a c²/v.
+    Mean: m_{i+1} = a_{i+1}·mu + a_{i+1} k_i (m_i - a_i mu)  (→ mu at end)
+    Var:  V_{i+1} = (a_{i+1} k_i)² V_i + s_{i+1}²
+    Checked statistically over a large batch — this pins the fresh-noise
+    semantics and the α/σ level indexing against independent math."""
+    k_steps = 4
+    g = solvers.flow_grid(k_steps, flow_shift=1.0)
+    n = 4096
+    a0, s0 = float(g.alphas[0]), float(g.sigmas[0])
+    v_start = (a0 * _C) ** 2 + s0**2
+    noise = jax.random.normal(jax.random.PRNGKey(3), (n, 4))
+    x_start = a0 * _MU + np.sqrt(v_start) * noise
+
+    out = solvers.sample_lcm(
+        _exact_flow_velocity, g, jnp.asarray(x_start), None,
+        rng=jax.random.PRNGKey(4),
+    )
+    out = np.asarray(out)
+
+    # independent numpy recursion for the final-step mean/variance
+    m_i, v_i = a0 * _MU, v_start
+    for i in range(k_steps):
+        a_i, s_i = float(g.alphas[i]), float(g.sigmas[i])
+        a_n, s_n = float(g.alphas[i + 1]), float(g.sigmas[i + 1])
+        var_marg = (a_i * _C) ** 2 + s_i**2
+        k_i = a_i * _C**2 / var_marg
+        m_i = a_n * (_MU + k_i * (m_i - a_i * _MU))
+        v_i = (a_n * k_i) ** 2 * v_i + s_n**2
+    # 4096 samples: mean se ~ sqrt(v)/64, var se ~ v·sqrt(2/n)
+    assert abs(float(out.mean()) - m_i) < 4.0 * np.sqrt(v_i / (n * 4)), (
+        out.mean(), m_i,
+    )
+    assert abs(float(out.var()) - v_i) < 5.0 * v_i * np.sqrt(2.0 / (n * 4)), (
+        out.var(), v_i,
+    )

@@ -7,6 +7,15 @@ Replaces the reference's implicit `from_pretrained` downloads+conversions
 (`src/main.py:160-176`, `README.md:44-48`) with an explicit offline step;
 the output loads with `tdm_tpu.io.params.load_params` and drops straight
 into the pipelines / train CLI.
+
+Dry-check a checkpoint BEFORE converting (header-only — validates the full
+key/shape inventory against the converter's expectation in seconds, no
+weights read):
+
+    python -m tdm_tpu.cli.convert_checkpoint \
+        --family sd3 --check-manifest /path/to/model.safetensors
+    python -m tdm_tpu.cli.convert_checkpoint \
+        --family sd3 --check-manifest captured_manifest.json
 """
 
 from __future__ import annotations
@@ -21,19 +30,33 @@ FAMILIES = {
     "klvae": "klvae_params",
     "taesd": "taesd_params",
     "cogvideox": "cogvideox_params",
+    "vae3d": "vae3d_decoder_params",
     "t5": "t5_encoder_params",
     "clip": "clip_text_params",
 }
+
+# --check-manifest names (io/manifest.py); taesd3 / vae3d_decoder exist only
+# as manifest inventories (converted via 'taesd' / 'vae3d' above)
+_CHECK_FAMILIES = ("taesd3", "vae3d_decoder")
 
 
 def main(argv=None) -> None:
     from tdm_tpu.io import convert, params as params_io
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--family", required=True, choices=sorted(FAMILIES))
-    p.add_argument("--src", required=True,
+    p.add_argument("--family", required=True,
+                   choices=sorted(list(FAMILIES) + list(_CHECK_FAMILIES)))
+    p.add_argument("--src",
                    help="safetensors file or HF checkpoint directory")
-    p.add_argument("--dst", required=True, help="output .safetensors path")
+    p.add_argument("--dst", help="output .safetensors path")
+    p.add_argument("--check-manifest", metavar="PATH",
+                   help="validate a checkpoint's key/shape inventory "
+                        "(safetensors file/dir, header-only, or a captured "
+                        "manifest .json) against the converter's "
+                        "expectation; exits 1 with a report on mismatch")
+    p.add_argument("--strip-prefix", default=None,
+                   help="with --check-manifest: strip this key prefix "
+                        "(e.g. 'transformer.') before comparing")
     p.add_argument("--dtype", default=None,
                    help="cast float weights (e.g. float16, bfloat16→float32 "
                         "is done at load)")
@@ -47,6 +70,37 @@ def main(argv=None) -> None:
                         f"{sorted(convert.TO_TORCH)})")
     args = p.parse_args(argv)
     import numpy as np
+
+    if args.check_manifest:
+        from tdm_tpu.io import manifest
+
+        fam = {"vae3d": "vae3d_decoder"}.get(args.family, args.family)
+        if fam not in manifest.MANIFEST_FAMILIES:
+            p.error(
+                f"--check-manifest supports {sorted(manifest.MANIFEST_FAMILIES)}"
+            )
+        actual = manifest.load_manifest(args.check_manifest)
+        problems = manifest.check_manifest(
+            fam, actual, strip_prefix=args.strip_prefix
+        )
+        if problems:
+            print(f"{args.check_manifest}: {len(problems)} problem(s) vs "
+                  f"the {args.family} converter's expectation:")
+            for line in problems[:50]:
+                print(f"  {line}")
+            if len(problems) > 50:
+                print(f"  ... and {len(problems) - 50} more")
+            raise SystemExit(1)
+        print(f"{args.check_manifest}: OK — {len(actual)} keys match the "
+              f"{args.family} inventory")
+        return
+    if not args.src or not args.dst:
+        p.error("--src and --dst are required (unless --check-manifest)")
+    if args.family not in FAMILIES:
+        p.error(
+            f"family {args.family!r} is check-manifest-only; convert with "
+            f"{'taesd' if args.family == 'taesd3' else 'vae3d'}"
+        )
 
     dtype = np.dtype(args.dtype) if args.dtype else None
     if args.reverse:

@@ -334,6 +334,10 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
         ),
         cond_fn=lambda prompt: (ctx_np, pooled_np),
         max_queue=requests,  # the bench floods the queue deliberately
+        # bf16 downlink: on the tunnel the result readback SHARES bandwidth
+        # with conditioning uploads — half the downlink bytes is throughput
+        # (latents are bf16-natural for a bf16 pipeline; clients upcast)
+        readback_dtype="bfloat16",
     )
     b.generate("warmup", seed=0)  # compile the batched sampler
 
@@ -357,6 +361,7 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
         ts = time.perf_counter()
         b.submit("p", seed=1000 + i).result(timeout=600)
         solo.append(time.perf_counter() - ts)
+    stats = b.stats
     b.close()
     # Future.set_result wakes result() BEFORE running callbacks — wait for
     # the appender to catch up so the percentiles see every request
@@ -366,6 +371,46 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
     p50 = lats[len(lats) // 2]
     p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
     ips = requests / elapsed
+
+    # ---- auditable I/O breakdown (round-3 VERDICT weak #4): measured
+    # bytes from the batcher's own accounting + a live host↔device
+    # bandwidth probe, so "the residual vs the raw sampler is transport
+    # I/O" is a number, not a claim. Probe: big f32 upload + forced sync
+    # (sum readback — block_until_ready does NOT block on the axon tunnel,
+    # docs/ENVIRONMENT_NOTES.md #1) minus the small-transfer RTT.
+    def _timed_put(nbytes: int) -> float:
+        arr = np.zeros(nbytes // 4, np.float32)
+        t0 = time.perf_counter()
+        d = jax.device_put(arr)
+        float(jnp.sum(d[:1]))  # sync
+        return time.perf_counter() - t0
+
+    _timed_put(4096)  # warm the path
+    t_small = min(_timed_put(4096) for _ in range(3))
+    big = 8 * 2**20
+    t_big = min(_timed_put(big) for _ in range(3))
+    bw_mbps = (big / 2**20) / max(t_big - t_small, 1e-6)
+    n_batches = max(stats.batches, 1)
+    io = {
+        "upload_mb_per_request": round(
+            stats.upload_bytes / max(stats.requests, 1) / 2**20, 3
+        ),
+        "readback_mb_per_batch": round(
+            stats.readback_bytes / n_batches / 2**20, 3
+        ),
+        "readback_ms_per_batch_measured": round(
+            1e3 * stats.readback_s / n_batches, 1
+        ),
+        "transport_mbps_probed": round(bw_mbps, 1),
+        "rtt_ms_probed": round(1e3 * t_small, 1),
+        # total transport seconds per batch at the probed bandwidth (the
+        # uploads overlap the collect window; readback overlaps the next
+        # batch's compute — this is the bound, not the critical-path cost)
+        "est_transport_s_per_batch": round(
+            (stats.upload_bytes + stats.readback_bytes)
+            / n_batches / 2**20 / max(bw_mbps, 1e-6), 3
+        ),
+    }
     return {
         "metric": (
             "serve_sd3_1024px_4nfe_int8_images_per_sec_per_chip"
@@ -379,6 +424,37 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
             f"idle latency {sorted(solo)[1]:.2f}s)"
         ),
         "vs_baseline": round(ips / 2.0, 3),
+        "io": io,
+    }
+
+
+def bench_distill_quality(distill_steps: int = 500) -> dict:
+    """Distillation QUALITY as a tracked number (round-3 VERDICT #4): the
+    synthetic decoded-pixel manifold probe (tdm_tpu/eval/distill_probe.py —
+    same pipeline tests/test_tdm_image_e2e.py gates on, ~2-3 min).
+
+    value = gap_closure = 1 - (gap after TDM)/(gap before TDM), where gap =
+    (4-NFE decoded manifold error) - (50-NFE teacher error). 1.0 means the
+    4-NFE student fully reaches 50-NFE teacher quality — the reference's
+    user-study bar (`README.md:17-27`: "student quality ≥ 50-NFE teacher"),
+    so vs_baseline is gap_closure/1.0. The e2e test's pass bar is >0.4;
+    recent measurements land ~0.6-0.9 (tolerance: the probe is stochastic
+    through XLA reassociation only — fixed seeds, so drift means a code
+    change, not noise)."""
+    from tdm_tpu.eval import distill_probe
+
+    t0 = time.time()
+    stats = distill_probe.run_probe(distill_steps=distill_steps)
+    return {
+        "metric": "tdm_distill_decoded_gap_closure",
+        "value": round(stats["gap_closure"], 4),
+        "unit": "fraction of the 4-vs-50-NFE decoded gap closed",
+        "vs_baseline": round(stats["gap_closure"] / 1.0, 4),
+        "err_teacher_50nfe": round(stats["err_teacher_50nfe"], 4),
+        "err_student_4nfe_before": round(stats["err_student_4nfe_before"], 4),
+        "err_student_4nfe_after": round(stats["err_student_4nfe_after"], 4),
+        "distill_steps": distill_steps,
+        "wall_s": round(time.time() - t0, 1),
     }
 
 
@@ -469,5 +545,6 @@ if __name__ == "__main__":
         "train_int8": lambda: bench_tdm_train_step(quant_forwards=True),
         "video": bench_cogvideox_4nfe,
         "video_int8": lambda: bench_cogvideox_4nfe(quant=True),
+        "distill": bench_distill_quality,
     }[which]
     print(json.dumps(fn()))

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Profile the full-size PixArt TDM train step and summarize device time.
+
+Captures a `jax.profiler` trace of `bench.py train`'s exact step (full-size
+PixArt, batch 4, remat, bf16 + int8 Adam moments), parses the xplane with
+tdm_tpu/utils/xplane.py (no tensorflow needed), and prints an op-level
+summary: top ops by device busy time, grouped fractions (matmul/conv,
+flash-attention custom calls, other fusions, copies), and an analytic
+MXU-utilization estimate from parameter FLOPs. `--write-docs` refreshes the
+measured table in docs/PERF.md.
+
+Run on the TPU host:  python scripts/profile_train_step.py [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_step(batch: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from tdm_tpu.core import schedules as sched
+    from tdm_tpu.models import pixart
+    from tdm_tpu.train import optim as topt, tdm
+
+    cfg = dataclasses.replace(pixart.PixArtConfig(), remat=True)
+    model = pixart.PixArtTransformer2D(cfg=cfg)
+    seq = 120
+    latent = jnp.zeros((1, 4, 64, 64), jnp.bfloat16)
+    text = jnp.zeros((batch, seq, cfg.caption_dim), jnp.bfloat16)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    teacher = jax.jit(model.init)(
+        jax.random.PRNGKey(0), latent, jnp.zeros((1,)), text[:1], mask[:1]
+    )["params"]
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), teacher)
+
+    def denoise_fn(params, x, t, cond):
+        te, m = cond
+        return pixart.epsilon(model.apply({"params": params}, x, t, te, m))
+
+    config = tdm.TDMConfig(
+        total_steps=900, num_steps=4, cfg=4.5, use_huber=True,
+        use_separate=True,
+    )
+    tx = topt.make_optimizer(
+        topt.make_lr_schedule("cosine_with_restarts", 2e-5, warmup_steps=50),
+        low_precision_moments=True,
+    )
+    step = tdm.build_train_step(
+        denoise_fn, teacher, sched.ddpm_linear(), config, tx, tx,
+        sample_shape=(4, 64, 64),
+    )
+    state = tdm.init_state(teacher, teacher, tx, tx)
+    jit_step = jax.jit(step, donate_argnums=(0,))
+    n_params = sum(x.size for x in jax.tree.leaves(teacher))
+    args = (
+        (text, mask),
+        (jnp.zeros_like(text), mask),
+        teacher,
+    )
+    return jit_step, state, args, n_params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--trace-dir", default="/tmp/tdm_train_profile")
+    ap.add_argument("--write-docs", action="store_true",
+                    help="refresh the measured block in docs/PERF.md")
+    a = ap.parse_args(argv)
+
+    from tdm_tpu.utils.config import apply_platform_env
+
+    apply_platform_env()
+    import jax
+
+    from tdm_tpu.utils import xplane
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    jit_step, state, (cond, uncond, teacher), n_params = build_step(a.batch)
+    rng = jax.random.PRNGKey(1)
+    state, _ = jit_step(state, rng, cond, uncond, teacher)  # compile
+    jax.block_until_ready(state)
+
+    # un-profiled baseline FIRST: tracing adds substantial overhead on the
+    # tunneled transport (162k events shipped host-side), so MFU comes
+    # from this wall clock, not the traced one
+    t0 = time.perf_counter()
+    for i in range(a.steps):
+        state, metrics = jit_step(
+            state, jax.random.fold_in(rng, 100 + i), cond, uncond, teacher
+        )
+    float(metrics.loss_student)  # real sync (ENVIRONMENT_NOTES #1)
+    wall_plain = (time.perf_counter() - t0) / a.steps
+
+    t0 = time.perf_counter()
+    with jax.profiler.trace(a.trace_dir):
+        for i in range(a.steps):
+            state, metrics = jit_step(
+                state, jax.random.fold_in(rng, i), cond, uncond, teacher
+            )
+        jax.block_until_ready(state)
+        # force a real sync through the tunnel (block_until_ready does not
+        # block there — docs/ENVIRONMENT_NOTES.md #1)
+        float(metrics.loss_student)
+    wall = time.perf_counter() - t0
+
+    s = xplane.device_summary(a.trace_dir)
+    step_s = wall_plain  # MFU from the un-traced steps
+    # analytic FLOPs: ~2·params per token per forward; the TDM step runs
+    # ~9 no-grad forwards + 1 forward+backward (≈3 forward-equivalents) at
+    # batch 4 × 1024 image tokens (+120 text tokens cross-attn, minor)
+    tokens = a.batch * 1024
+    fwd_flop = 2.0 * n_params * tokens
+    step_flop = fwd_flop * (9 + 3)
+    tflops = step_flop / step_s / 1e12
+    out = {
+        "metric": "pixart512_tdm_train_profile",
+        "wall_s_per_step": round(step_s, 3),
+        "wall_s_per_step_traced": round(wall / a.steps, 3),
+        "device_busy_ms_total": s["total_busy_ms"],
+        "events": s["events"],
+        "plane": s["plane"],
+        "line": s.get("line", ""),
+        "plane_lines": s.get("plane_lines", []),
+        "groups": s["groups"],
+        "analytic_tflops": round(tflops, 1),
+        "analytic_mfu_v5e_pct": round(100 * tflops / 197.0, 1),
+        "params_m": round(n_params / 1e6, 1),
+        "top": s["top"],
+    }
+    print(json.dumps(out))
+
+    if a.write_docs:
+        _write_docs(out, a)
+    return out
+
+
+def _write_docs(out: dict, a) -> None:
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "PERF.md")
+    begin, end = "<!-- train-profile:begin -->", "<!-- train-profile:end -->"
+    rows = "\n".join(
+        f"| `{op[:72]}` | {ms:.1f} | {frac:.1%} |"
+        for op, ms, frac in out["top"][:10]
+    )
+    g = out["groups"]
+    block = f"""{begin}
+_Generated by `python scripts/profile_train_step.py --write-docs`
+({a.steps} profiled steps, batch {a.batch}, full-size PixArt)._
+
+* wall clock (un-traced): **{out['wall_s_per_step']:.2f} s/step**
+  ({3600 / out['wall_s_per_step']:.0f} iters/hour; tracing itself costs
+  {out['wall_s_per_step_traced']:.2f} s/step over the tunneled transport)
+* analytic throughput: **{out['analytic_tflops']:.0f} TFLOP/s ≈
+  {out['analytic_mfu_v5e_pct']:.0f}% of v5e peak** (197 bf16 TFLOP/s;
+  parameter-FLOP count over ~12 forward-equivalents/step)
+* device busy time by group: matmul/conv {g['matmul_conv']:.1%} ·
+  flash-attention/custom-call {g['flash_attention_pallas']:.1%} ·
+  other fusions {g['fusion_other']:.1%} ·
+  copies/reshapes {g['copies_reshapes']:.1%} ·
+  collectives {g['collectives']:.1%}
+
+Top device ops by busy time ({out['device_busy_ms_total']:.0f} ms total
+across {out['events']} events on the `{out['line']}` line of
+`{out['plane']}`):
+
+| op | ms | share |
+|---|---|---|
+{rows}
+{end}"""
+    if os.path.exists(path):
+        text = open(path).read()
+        if begin in text and end in text:
+            pre = text.split(begin)[0]
+            post = text.split(end)[1]
+            text = pre + block + post
+        else:
+            text = text.rstrip() + "\n\n## Train-step profile\n\n" + block + "\n"
+    else:
+        text = "# Performance notes\n\n## Train-step profile\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"wrote {os.path.normpath(path)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

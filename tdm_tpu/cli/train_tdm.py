@@ -81,11 +81,25 @@ def main(argv: Optional[list[str]] = None) -> None:
                 f"--moe_experts {cfg.moe_experts} not divisible by "
                 f"--ep {n_ep}"
             )
-    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep
+    n_sp = max(cfg.sp, 1)
+    if n_sp > 1:
+        if cfg.model_family != "cogvideox":
+            raise ValueError(
+                "--sp (frame-sharded sequence parallelism) supports "
+                "--model_family cogvideox only"
+            )
+        if max(cfg.fsdp, 1) > 1 or cfg.tp > 1 or cfg.pp > 1 or n_ep > 1:
+            raise ValueError(
+                "--sp is currently exclusive with --fsdp/--tp/--pp/--ep "
+                "(('data','sp') mesh)"
+            )
+        if cfg.quant_forwards:
+            raise ValueError("--sp with --quant_forwards is not supported")
+    n_model = max(cfg.fsdp, 1) * max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep * n_sp
     if n_dev % n_model != 0:
         raise ValueError(
             f"--fsdp {cfg.fsdp} x --tp {cfg.tp} x --pp {cfg.pp} x --ep "
-            f"{cfg.ep} does not divide {n_dev} devices"
+            f"{cfg.ep} x --sp {cfg.sp} does not divide {n_dev} devices"
         )
     # multi-slice pods: group devices slice-major so every model axis
     # (fsdp/tp/pp) stays inside one ICI slice and only the data axis's
@@ -134,6 +148,19 @@ def main(argv: Optional[list[str]] = None) -> None:
             ),
             (pmesh.DATA_AXIS, pmesh.FSDP_AXIS, "ep"),
         )
+    elif n_sp > 1:
+        # sequence parallelism (cogvideox): latent frames shard over 'sp',
+        # attention runs as ring attention inside a shard_map
+        # (models/cogvideox.py sequence_parallel_apply) — distributed VIDEO
+        # distillation beyond one chip's HBM. 'sp' innermost: the per-block
+        # ring ppermute is the latency-critical collective. Reference
+        # long-video surface: README.md:114-138 (single-GPU memory-bound).
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            np.asarray(devices).reshape(n_dev // n_sp, n_sp),
+            (pmesh.DATA_AXIS, "sp"),
+        )
     elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
         # shapes, so absmax scales lower to collectives and match the
@@ -153,7 +180,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     # don't multiply the batch. Each HOST loads only its local rows
     # (pmesh.put_batch assembles the global array), matching accelerate's
     # per-rank DataLoader shards.
-    n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep)
+    n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep * n_sp)
     global_batch = cfg.train_batch_size * n_data_ranks
     local_batch = global_batch // jax.process_count()
 
@@ -165,6 +192,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         cfg.model_family,
         tiny=tiny,
         resolution=cfg.resolution,
+        num_frames=cfg.num_frames,
         # --gradient_checkpointing → per-block remat, the torch
         # unet.enable_gradient_checkpointing() (reference src/main.py:191-193)
         gradient_checkpointing=cfg.gradient_checkpointing,
@@ -226,6 +254,36 @@ def main(argv: Optional[list[str]] = None) -> None:
         logger.info(
             "pipeline parallelism: %d stages x %d microbatches",
             cfg.pp, cfg.pp_microbatches or cfg.pp,
+        )
+    elif n_sp > 1:
+        # sequence-parallel denoiser: the SAME param tree, applied through
+        # a shard_map that shards latent frames over 'sp' and runs every
+        # attention as ring attention. Exactness vs the monolithic step:
+        # tests/test_tdm_video.py + the CLI e2e. Validation keeps
+        # plain_denoise_fn (tiny fixed-prompt batches, replicated params).
+        import dataclasses as _dc
+
+        from tdm_tpu.models import cogvideox as cog_mod
+
+        mcfg = bundle.model.cfg
+        if mcfg.sample_frames % n_sp:
+            raise ValueError(
+                f"--sp {n_sp} does not divide the latent frame count "
+                f"{mcfg.sample_frames}"
+            )
+        sp_model = cog_mod.CogVideoXTransformer3D(
+            cfg=_dc.replace(mcfg, sequence_parallel_axis="sp")
+        )
+        sp_fwd = cog_mod.sequence_parallel_apply(
+            sp_model, mesh, data_axis=pmesh.DATA_AXIS
+        )
+
+        def denoise_fn(params, x, t, cond):  # noqa: F811 — sp override
+            return sp_fwd(params, x, t, cond)
+
+        logger.info(
+            "sequence parallelism: %d-way frame sharding (ring attention)",
+            n_sp,
         )
 
     # ---- data: prompts → embedding batches. get_batch() → (text, mask,

@@ -158,6 +158,13 @@ class Attention(nn.Module):
             return t.reshape(b, -1, self.heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        # pin the head-parallel layout under an activation_sharding() mesh
+        # (megatron tp: heads over 'tp'); no-op single-device. Keeps GSPMD
+        # from inventing inconsistent cotangent layouts across the split/
+        # merge reshapes (parallel/mesh.py constrain docstring).
+        from tdm_tpu.parallel.mesh import BATCH, FEATURES, HEADS, constrain
+
+        q, k, v = (constrain(t, BATCH, HEADS, None, None) for t in (q, k, v))
         if self.qk_norm == "rms":
             q = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_q")(q)
             k = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_k")(k)
@@ -166,6 +173,7 @@ class Attention(nn.Module):
             k = apply_rotary(k, rotary)
         out = fused_attention(q, k, v, key_mask, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        out = constrain(out, BATCH, None, FEATURES)
         return nn.Dense(
             self.out_dim or x.shape[-1], dtype=self.dtype, name="to_out"
         )(out)

@@ -97,6 +97,13 @@ class PixArtBlock(nn.Module):
             (6, c.hidden),
             jnp.float32,
         )
+        # pin the modulation input's batch layout INSIDE the scan body:
+        # under an activation_sharding() mesh (no-op otherwise) the
+        # transposed constraint pins each layer's t6-cotangent contribution
+        # too, keeping the backward free of GSPMD full-remat reshards
+        from tdm_tpu.parallel.mesh import BATCH, constrain
+
+        t6 = constrain(t6, BATCH, None, None)
         mod = table[None] + t6.astype(jnp.float32)  # [B,6,D]
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             m.astype(x.dtype) for m in jnp.split(mod, 6, axis=1)
@@ -182,9 +189,18 @@ def _prologue(c: PixArtConfig, latent, t, text):
     t_emb = L.TimestepEmbedding(c.hidden, dtype=c.dtype, name="t_embedder")(
         t_base.astype(c.dtype)
     )
-    t6 = nn.Dense(6 * c.hidden, dtype=c.dtype, name="t_block")(
+    # pin the modulation path's batch layout on BOTH sides of the 6-way
+    # reshape under an activation_sharding() mesh (no-op otherwise) — the
+    # backward cotangents otherwise trigger a GSPMD full-remat reshard on
+    # ('data','fsdp','tp') train meshes (parallel/mesh.py constrain)
+    from tdm_tpu.parallel.mesh import BATCH, constrain
+
+    t6_flat = nn.Dense(6 * c.hidden, dtype=c.dtype, name="t_block")(
         nn.silu(t_emb)
-    ).reshape(b, 6, c.hidden)
+    )
+    t6 = constrain(t6_flat, BATCH, None).reshape(b, 6, c.hidden)
+    x = constrain(x, BATCH, None, None)
+    t6 = constrain(t6, BATCH, None, None)
 
     # caption projection (PixArtAlphaTextProjection): 4096 → D MLP
     y = nn.Dense(c.hidden, dtype=c.dtype, name="caption_linear_1")(

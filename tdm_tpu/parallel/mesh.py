@@ -156,6 +156,78 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(axes))
 
 
+_ACTIVATION_MESH: Any = None  # set only inside activation_sharding()
+
+# The logical activation-layout vocabulary (resolved against the active
+# mesh; absent axes drop to None):
+BATCH = (DATA_AXIS, FSDP_AXIS)  # rows over every data-carrying axis
+HEADS = "tp"  # attention heads under megatron tensor parallelism
+FEATURES = "tp"  # row-parallel input features
+
+
+class activation_sharding:
+    """Context manager: trace jitted model code with explicit activation
+    sharding constraints (constrain()) resolved against `mesh`.
+
+    Why: GSPMD picks intermediate COTANGENT layouts by local cost model;
+    on the combined ('data','fsdp','tp') train mesh it chose inconsistent
+    layouts across the attention head split/merge and adaLN reshapes in
+    the PixArt backward, hitting the spmd_partitioner "Involuntary full
+    rematerialization" path (an all-gather + re-partition of the tensor
+    every step — wasted ICI at pod scale; GSPMD resharding corner tracked
+    upstream as b/433785288). Pinning the forward activations to their
+    natural layouts makes the transposed constraints pin the cotangents
+    too, and the warnings disappear (tests/test_tp.py asserts both the
+    clean compile and exactness vs the unsharded step).
+
+    Enter it around the CALL (= trace) of the jitted step; constraints
+    become part of the compiled program. Without the context, constrain()
+    is a no-op and every existing single-device path is unchanged."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVATION_MESH
+        self._prev = _ACTIVATION_MESH
+        _ACTIVATION_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVATION_MESH
+        _ACTIVATION_MESH = self._prev
+        return False
+
+
+def constrain(x, *spec):
+    """`with_sharding_constraint(x, P(*spec))` against the mesh installed
+    by activation_sharding(); no-op otherwise. Each spec entry is an axis
+    name, a tuple of axis names, or None; axes missing from the mesh (or
+    not dividing the dimension) are dropped — never wrong, only weaker."""
+    mesh = _ACTIVATION_MESH
+    if mesh is None:
+        return x
+    resolved = []
+    for dim, entry in enumerate(spec):
+        names = (
+            entry if isinstance(entry, tuple)
+            else (entry,) if entry is not None else ()
+        )
+        names = tuple(n for n in names if n in mesh.axis_names)
+        size = int(np.prod([mesh.shape[n] for n in names])) if names else 1
+        if not names or x.shape[dim] % size != 0:
+            resolved.append(None)
+        elif len(names) == 1:
+            resolved.append(names[0])
+        else:
+            resolved.append(names)
+    if all(r is None for r in resolved):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*resolved))
+    )
+
+
 def fsdp_spec(shape: tuple[int, ...], n_fsdp: int, min_size: int = 2**16) -> P:
     """ZeRO-3-style rule for one parameter: shard the largest divisible
     axis over 'fsdp'; small params stay replicated (the reference's ZeRO-3

@@ -52,6 +52,12 @@ _ROW = {"to_out", "to_add_out"}
 # top-level `proj_out` output head (PixArt/SD3/CogVideoX all have one) and
 # the patch-embed `proj` stay replicated.
 _FF_PARENTS = {"ff", "ff_context", "net", "mlp"}
+# Shared adaLN modulation heads (kept replicated under the fsdp rule — see
+# tp_fsdp_spec): PixArt adaln-single 't_block', SD3/CogVideoX per-block
+# 'norm1'/'norm1_context'/'norm2' linears and the final 'norm_out'.
+_MODULATION_HEADS = {
+    "t_block", "norm1", "norm1_context", "norm2", "norm_out",
+}
 
 
 def make_tp_mesh(
@@ -146,6 +152,14 @@ def tp_fsdp_spec(
     degrades to replicated, fsdp_spec skips small/indivisible leaves."""
     from tdm_tpu.parallel.mesh import FSDP_AXIS, fsdp_spec
 
+    # Shared adaLN modulation heads stay REPLICATED: their gradient is a
+    # batch contraction of a tiny per-sample activation; fsdp-sharding the
+    # kernel makes GSPMD reshard that cotangent through its "involuntary
+    # full rematerialization" fallback every step (all-gather + repartition
+    # on the ICI critical path). The heads are ~1% of params (PixArt
+    # t_block: 8M of 610M), so replicating them is the cheaper layout.
+    if any(n in _MODULATION_HEADS for n in names[-3:]):
+        return P()
     tspec = tp_spec(names, shape, n_tp)
     tp_dim = next(
         (i for i, a in enumerate(tspec) if a == TP_AXIS), None

@@ -92,6 +92,14 @@ def _to_device(tree, float_dtype=None):
     return jax.tree.map(put, tree)
 
 
+def _tree_nbytes(tree) -> int:
+    """Bytes of a device tree in its as-shipped dtype (upload accounting)."""
+    return sum(
+        int(np.prod(jnp.shape(x))) * jnp.dtype(jnp.result_type(x)).itemsize
+        for x in jax.tree.leaves(tree)
+    )
+
+
 def make_cond_fn(
     pipe, embedding_cache: Optional[str] = None
 ) -> Callable[[str], Any]:
@@ -185,6 +193,11 @@ class ServeStats:
     last_batch_period_s: float = 0.0
     # compiled-shape histogram: {bucket_size: batches run at that shape}
     batches_by_shape: dict = field(default_factory=dict)
+    # host↔device traffic accounting (the serving-vs-raw-sampler residual
+    # is I/O on tunneled transports — these make the claim auditable):
+    upload_bytes: int = 0  # conditioning+uncond uploads, as-shipped dtype
+    readback_bytes: int = 0  # result readbacks, native (pre-upcast) dtype
+    readback_s: float = 0.0  # measured wall time inside np.asarray(result)
 
     def as_dict(self) -> dict:
         d = dict(self.__dict__)
@@ -231,6 +244,7 @@ class MicroBatcher:
         negative_prompt: Optional[str] = None,
         max_queue: int = 64,
         batch_buckets: Optional[Sequence[int]] = None,
+        readback_dtype: Optional[str] = None,
     ):
         """`batch_buckets`: optional ascending batch sizes to round partial
         batches up to (e.g. (1, 4)): a lone request on an idle server runs
@@ -241,7 +255,15 @@ class MicroBatcher:
         results stay deterministic per (prompt, seed, bucket shape), but
         across DIFFERENT bucket shapes they agree only up to XLA's
         shape-dependent fusion envelope — pin one bucket (the default) if
-        bit-exact reproduction across traffic levels matters."""
+        bit-exact reproduction across traffic levels matters.
+
+        `readback_dtype`: cast results to this dtype ON DEVICE before the
+        host readback (e.g. 'bfloat16' halves the downlink bytes of a
+        latent-serving daemon; clients get the cast dtype upcast to f32).
+        Lossy by one rounding — leave None (native) when bit-exact f32
+        results matter. On tunneled transports (docs/ENVIRONMENT_NOTES.md
+        #15) the downlink shares bandwidth with conditioning uploads, so
+        this buys real throughput, not just latency."""
         self.pipe = pipe
         self.batch_size = int(batch_size)
         if batch_buckets is None:
@@ -273,6 +295,9 @@ class MicroBatcher:
             self._uncond = _to_device(
                 self.cond_fn(negative_prompt or ""), self._cond_dtype
             )
+        self._readback_dtype = (
+            jnp.dtype(readback_dtype) if readback_dtype is not None else None
+        )
         self.stats = ServeStats()
         # bounded: each pending row pins device HBM (cond + noise, ~4-8 MB
         # for SD3) — an unbounded queue under a request burst would OOM the
@@ -322,9 +347,11 @@ class MicroBatcher:
                 raise ValueError("need prompt or cond")
             cond = self.cond_fn(prompt)
         cond = _to_device(cond, self._cond_dtype)
+        self.stats.upload_bytes += _tree_nbytes(cond)
         uncond = None
         if negative_prompt is not None and self._uncond is not None:
             uncond = _to_device(self.cond_fn(negative_prompt), self._cond_dtype)
+            self.stats.upload_bytes += _tree_nbytes(uncond)
         # per-request noise from the request's own seed — determinism is
         # independent of batch composition (see module docstring). Stays a
         # DEVICE array: np.asarray here would force a host readback per
@@ -516,6 +543,9 @@ class MicroBatcher:
             **self.call_kwargs,
         )
         result = out.images if out.images is not None else out.latents
+        if self._readback_dtype is not None:
+            # device-side downcast: halves downlink bytes (see __init__)
+            result = result.astype(self._readback_dtype)
         # hand the DEVICE result to the resolver thread: the ~0.3 s/batch
         # host readback overlaps the NEXT batch's compute instead of
         # blocking this worker (queue bound caps in-flight device results)
@@ -532,7 +562,12 @@ class MicroBatcher:
                 # the tunnel at half the bytes; ml_dtypes handles bf16
                 # ndarrays), then upcast host-side — bit-identical to
                 # upcasting on device
+                t_rb = time.monotonic()
                 result = np.asarray(result_dev).astype(np.float32)
+                self.stats.readback_s += time.monotonic() - t_rb
+                self.stats.readback_bytes += (
+                    result_dev.size * result_dev.dtype.itemsize
+                )
                 now = time.monotonic()
                 self.stats.last_batch_latency_s = now - t0
                 if self._last_done is not None:

@@ -280,6 +280,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "idle server run the small program (~half the "
                         "latency, no padded compute) at the cost of one "
                         "compile per bucket (all warmed by --warmup)")
+    p.add_argument("--readback_dtype", default=None,
+                   choices=(None, "bfloat16", "float16"),
+                   help="cast results to this dtype on device before the "
+                        "host readback (halves downlink bytes for latent "
+                        "serving; one rounding lossy — default native)")
     p.add_argument("--warmup", nargs="?", const="", default=None,
                    metavar="PROMPT",
                    help="run one discarded batch before accepting traffic "
@@ -361,6 +366,7 @@ def main(argv=None) -> None:
         negative_prompt=args.negative_prompt,
         max_queue=args.max_queue,
         batch_buckets=buckets,
+        readback_dtype=args.readback_dtype,
     )
     # bind the socket BEFORE the (minutes-long on a cold cache) warmup
     # compile: early clients connect into the listen backlog and are

@@ -48,6 +48,7 @@ def build(
     *,
     tiny: bool = False,
     resolution: int = 512,
+    num_frames: int = 0,
     gradient_checkpointing: bool = False,
     mixed_precision: Optional[str] = None,
     allow_pooled_standin: bool = False,
@@ -267,6 +268,13 @@ def build(
     from tdm_tpu.models import cogvideox as cog
 
     mcfg = cog.CogVideoXConfig.tiny() if tiny else cog.CogVideoXConfig()
+    if num_frames > 0:
+        # --num_frames (pixel frames, reference README.md:116's 49-frame
+        # clips) → latent frames via the causal VAE's 4x temporal factor;
+        # lets --sp runs pick an sp-divisible frame count
+        mcfg = dataclasses.replace(
+            mcfg, sample_frames=1 + (num_frames - 1) // 4
+        )
     if gradient_checkpointing:
         mcfg = dataclasses.replace(mcfg, remat=True)
     mcfg = apply_mp(mcfg)

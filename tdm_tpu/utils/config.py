@@ -36,6 +36,10 @@ class TrainConfig:
     resolution: int = 512
     center_crop: bool = False
     random_flip: bool = False
+    # video geometry (cogvideox family): pixel frames per clip; 0 = the
+    # family default (49, reference README.md:116). Latent frames =
+    # 1 + (num_frames-1)/4 — pick so --sp divides them.
+    num_frames: int = 0
 
     # core loop (src/args.py:120-160)
     output_dir: str = "tdm-output"
@@ -128,6 +132,13 @@ class TrainConfig:
     # ('data','fsdp','ep') mesh, expert stacks shard over 'ep', everything
     # else ZeRO-3 over 'fsdp'.
     ep: int = 1
+    # TPU extension: devices on the 'sp' mesh axis — sequence parallelism
+    # for VIDEO distillation (cogvideox only): latent FRAMES shard over
+    # 'sp', every block's attention runs as ring attention over ICI
+    # (models/cogvideox.py sequence_parallel_apply; reference long-video
+    # surface README.md:114-138 is single-GPU memory-bound). Mesh becomes
+    # ('data','sp'); currently exclusive with --fsdp/--tp/--pp/--ep.
+    sp: int = 1
     # research extension: distill a mixture-of-experts PixArt student —
     # swaps each block's MLP for a top-k MoE (PixArtConfig.moe_experts).
     # 0 = dense (reference parity). The teacher must share the layout

@@ -95,6 +95,11 @@ def test_batcher_coalesces_and_is_deterministic(pipe):
     assert len(calls) == 1 and calls[0][0] == 4
     assert b.stats.batches == 1 and b.stats.requests == 3
     assert b.stats.rows_padded == 1
+    # I/O accounting (bench.py serve's auditable breakdown reads these):
+    # 3 conditioning uploads and one batch readback, both byte-counted
+    assert b.stats.upload_bytes > 0
+    assert b.stats.readback_bytes > 0 and b.stats.readback_s >= 0.0
+    assert "upload_bytes" in b.stats.as_dict()
     # per-request results match the solo calls (batch composition B) to a
     # bf16 fusion envelope — determinism is independent of batch-mates
     for seed, arr in got.items():

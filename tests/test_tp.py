@@ -115,9 +115,18 @@ def test_tp_fsdp_spec_rule():
     ) == (None, "fsdp", "tp")
     # non-tp leaf falls back to the shape-based fsdp rule
     spec = tp_fsdp_spec(
-        ("params", "t_block", "kernel"), (1024, 1024), 4, 2
+        ("params", "proj_out", "kernel"), (1024, 1024), 4, 2
     )
     assert "fsdp" in tuple(spec) and "tp" not in tuple(spec)
+    # shared adaLN modulation heads stay REPLICATED (their fsdp-sharded
+    # gradient forces a GSPMD full-remat reshard of a per-sample cotangent
+    # every step — see parallel/tp.py _MODULATION_HEADS)
+    assert tp_fsdp_spec(
+        ("params", "t_block", "kernel"), (1024, 1024), 4, 2
+    ) == ()
+    assert tp_fsdp_spec(
+        ("params", "blocks", "norm1", "linear", "kernel"), (512, 3072), 4, 2
+    ) == ()
     # small leaves stay replicated; blockwise-int8 moment shapes (which
     # break the name rule's divisibility) degrade gracefully
     assert tp_fsdp_spec(("params", "norm", "scale"), (64,), 4, 2) == ()

@@ -160,7 +160,11 @@ def bench_tdm_train_step(
     from tdm_tpu.train import optim as topt, tdm
 
     cfg = dataclasses.replace(
-        pixart.PixArtConfig(), remat=True, remat_policy=remat_policy
+        pixart.PixArtConfig(), remat=True, remat_policy=remat_policy,
+        # flash attention beats XLA's S²-materializing path once the
+        # BACKWARD counts: 3202 → 4344 iters/hour measured (train/
+        # families.py sets the same for tdm-train; docs/PERF.md)
+        attn_impl="pallas",
     )
     model = pixart.PixArtTransformer2D(cfg=cfg)
     seq = 120
@@ -193,14 +197,17 @@ def bench_tdm_train_step(
     cond = (text, mask)
     uncond = (jnp.zeros_like(text), mask)
     rng = jax.random.PRNGKey(1)
-    state, _ = jit_step(state, rng, cond, uncond, teacher)  # compile
-    jax.block_until_ready(state)
+    state, warm = jit_step(state, rng, cond, uncond, teacher)  # compile
+    # TRUE sync on both window edges: block_until_ready does not block on
+    # the tunnel (ENVIRONMENT_NOTES #1) — without the scalar readbacks the
+    # warmup execution leaks INTO the window and the tail leaks OUT
+    float(warm.loss_student)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = jit_step(
             state, jax.random.fold_in(rng, i), cond, uncond, teacher
         )
-    jax.block_until_ready(state)
+    float(metrics.loss_student)
     dt = (time.perf_counter() - t0) / iters
     iters_per_hour = 3600.0 / dt
     # baseline: reference trains 500 iters in ~2 A800-GPU-hours on 2 GPUs

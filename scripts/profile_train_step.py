@@ -93,8 +93,11 @@ def main(argv=None):
     print(f"devices: {jax.devices()}", file=sys.stderr)
     jit_step, state, (cond, uncond, teacher), n_params = build_step(a.batch)
     rng = jax.random.PRNGKey(1)
-    state, _ = jit_step(state, rng, cond, uncond, teacher)  # compile
-    jax.block_until_ready(state)
+    state, warm = jit_step(state, rng, cond, uncond, teacher)  # compile
+    # REAL sync before timing: block_until_ready does not block over the
+    # tunnel (ENVIRONMENT_NOTES #1) and the warmup call's async execution
+    # (+ any one-time state relayout) would otherwise leak into the window
+    float(warm.loss_student)
 
     # un-profiled baseline FIRST: tracing adds substantial overhead on the
     # tunneled transport (162k events shipped host-side), so MFU comes
@@ -168,11 +171,13 @@ _Generated by `python scripts/profile_train_step.py --write-docs`
 * analytic throughput: **{out['analytic_tflops']:.0f} TFLOP/s ≈
   {out['analytic_mfu_v5e_pct']:.0f}% of v5e peak** (197 bf16 TFLOP/s;
   parameter-FLOP count over ~12 forward-equivalents/step)
-* device busy time by group: matmul/conv {g['matmul_conv']:.1%} ·
-  flash-attention/custom-call {g['flash_attention_pallas']:.1%} ·
+* device busy time by bucket (leaf HLO ops, name-classified — fusions
+  only hint at contents): matmul/conv {g['matmul_conv']:.1%} ·
+  custom-call/pallas {g['custom_call_pallas']:.1%} ·
+  data movement {g['data_movement']:.1%} ·
+  reductions {g['reductions']:.1%} ·
   other fusions {g['fusion_other']:.1%} ·
-  copies/reshapes {g['copies_reshapes']:.1%} ·
-  collectives {g['collectives']:.1%}
+  collectives {g['collectives']:.1%} · other {g['other']:.1%}
 
 Top device ops by busy time ({out['device_busy_ms_total']:.0f} ms total
 across {out['events']} events on the `{out['line']}` line of

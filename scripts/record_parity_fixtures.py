@@ -419,6 +419,67 @@ def capture_taesd(args):
     )
 
 
+def capture_recipe_sd3(args):
+    """Reproduction fixture for the flagship TDM-SD3-LoRA recipe
+    (`/root/reference/README.md:44-85`): fixed prompts + seed 8888, 4-step
+    DPM-Solver flow_shift=6, LoRA scale 0.125. Records the conditioning,
+    the INITIAL latents (so the JAX replay does not need to match torch's
+    RNG), and the final latents + decoded images. The consuming test
+    (tests/test_recipe_replay.py) replays through the tdm_tpu SD3 pipeline
+    with the converted transformer + LoRA and asserts agreement."""
+    import torch
+    from diffusers import StableDiffusion3Pipeline
+
+    repo = args.repo or "stabilityai/stable-diffusion-3-medium-diffusers"
+    pipe = StableDiffusion3Pipeline.from_pretrained(
+        repo, torch_dtype=torch.float32
+    )
+    if args.lora:
+        pipe.load_lora_weights(args.lora)
+    prompts = [
+        "a photo of a cat",
+        "an astronaut riding a horse on the moon",
+    ]
+    g = torch.Generator().manual_seed(8888)
+    with torch.no_grad():
+        pe, npe, pool, npool = pipe.encode_prompt(
+            prompt=prompts, prompt_2=prompts, prompt_3=prompts,
+            negative_prompt=[""] * len(prompts),
+        )[:4]
+        lat_shape = (
+            len(prompts), pipe.transformer.config.in_channels,
+            1024 // 8, 1024 // 8,
+        )
+        latents = torch.randn(lat_shape, generator=g, dtype=torch.float32)
+        out = pipe(
+            prompt_embeds=pe, pooled_prompt_embeds=pool,
+            negative_prompt_embeds=npe,
+            negative_pooled_prompt_embeds=npool,
+            num_inference_steps=4, guidance_scale=1.0,
+            latents=latents.clone(), output_type="latent",
+        ).images
+        images = pipe.vae.decode(
+            out / pipe.vae.config.scaling_factor
+            + pipe.vae.config.shift_factor
+        ).sample
+    _save_npz(
+        args.out or "tests/fixtures/parity/sd3_recipe.npz",
+        "sd3_recipe",
+        dict(
+            repo=repo, lora=args.lora or "", seed=8888, steps=4,
+            guidance=1.0, lora_scale=0.125, prompts=prompts,
+        ),
+        {
+            "prompt_embeds": pe.float().numpy(),
+            "pooled": pool.float().numpy(),
+            "latents_init": latents.float().numpy(),
+        },
+        [], [],
+        out.float().numpy(),
+        None,
+    )
+
+
 CAPTURES = {
     "pixart": capture_pixart,
     "sd3": capture_sd3,
@@ -426,6 +487,7 @@ CAPTURES = {
     "cogvideox": capture_cogvideox,
     "klvae": capture_klvae,
     "taesd": capture_taesd,
+    "sd3_recipe": capture_recipe_sd3,
 }
 
 
@@ -436,6 +498,8 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight model (self-contained fixture)")
     ap.add_argument("--repo", help="HF repo id or local checkout path")
+    ap.add_argument("--lora", help="TDM LoRA repo/path for --capture "
+                                   "sd3_recipe (README.md:48)")
     ap.add_argument("--manifest",
                     help="capture a key/shape manifest from this "
                          ".safetensors file or shard dir (no torch needed)")

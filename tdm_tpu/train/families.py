@@ -111,6 +111,14 @@ def build(
         from tdm_tpu.models import pixart
 
         mcfg = pixart.PixArtConfig.tiny() if tiny else pixart.PixArtConfig()
+        if not tiny:
+            # TRAINING runs the flash kernel even at PixArt's S=1024, where
+            # inference 'auto' picks XLA: forward-only XLA wins (100 vs
+            # 115 ms, the kernel pads head_dim 72→128), but the train
+            # step's backward + remat recompute materializes the f32 S²
+            # probs on the XLA path — measured on v5e: 3202 (xla) → 4344
+            # (pallas) iters/hour, +36% (docs/PERF.md).
+            mcfg = dataclasses.replace(mcfg, attn_impl="pallas")
         if not tiny and lat != mcfg.sample_size:
             mcfg = dataclasses.replace(mcfg, sample_size=lat)
         if gradient_checkpointing:

@@ -164,42 +164,52 @@ def device_summary(
         if op_lines
         else max(plane.lines, key=lambda ln: ln.events, default=LineSummary(""))
     )
-    total = line.total_ps or 1
-    ranked = sorted(line.by_op.items(), key=lambda kv: -kv[1])
+    # control-flow wrapper events (%while/%conditional/%call — the remat
+    # scan bodies) CONTAIN their body ops, which are separately evented on
+    # the same line: keep leaves only, or every total double-counts
+    leaf = {
+        op: ps
+        for op, ps in line.by_op.items()
+        if not op.startswith(("%while", "%conditional", "%call"))
+    }
+    total = sum(leaf.values()) or 1
+    ranked = sorted(leaf.items(), key=lambda kv: -kv[1])
     top = [
         (op, round(ps / 1e9, 3), round(ps / total, 4))
         for op, ps in ranked[:top_k]
     ]
 
-    def frac(pred) -> float:
-        return round(
-            sum(ps for op, ps in line.by_op.items() if pred(op.lower()))
-            / total,
-            4,
-        )
+    # non-overlapping buckets, first match wins (fusion names only hint at
+    # contents — XLA:TPU timelines are almost entirely fusions)
+    buckets = [
+        ("collectives", lambda o: any(k in o for k in (
+            "all-reduce", "all-gather", "reduce-scatter", "collective",
+            "permute"))),
+        ("matmul_conv", lambda o: any(k in o for k in (
+            "dot", "conv", "einsum"))),
+        ("custom_call_pallas", lambda o: "custom-call" in o or "flash" in o),
+        ("data_movement", lambda o: any(k in o for k in (
+            "copy", "transpose", "reshape", "bitcast", "dynamic-update",
+            "dynamic_update", "dynamic-slice", "dynamic_slice"))),
+        ("reductions", lambda o: "reduce" in o),
+        ("fusion_other", lambda o: "fusion" in o),
+    ]
 
-    groups = {
-        # fusions dominate XLA:TPU timelines; attribute by name substrings
-        "matmul_conv": frac(
-            lambda o: "dot" in o or "conv" in o or "einsum" in o
-        ),
-        "flash_attention_pallas": frac(
-            lambda o: "flash" in o or "pallas" in o or "custom-call" in o
-        ),
-        "fusion_other": frac(
-            lambda o: o.startswith("fusion")
-            or (".fusion" in o)
-            or ("%fusion" in o)
-        ),
-        "copies_reshapes": frac(
-            lambda o: "copy" in o or "transpose" in o or "reshape" in o
-        ),
-        "collectives": frac(
-            lambda o: "all-reduce" in o or "all-gather" in o
-            or "reduce-scatter" in o or "collective" in o
-            or "permute" in o
-        ),
-    }
+    def bucket_of(op: str) -> str:
+        # classify on the op NAME only — the full event string carries
+        # operand text ("fusion(bf16[...] %copy...)") that would misfile
+        # nearly everything into data_movement
+        o = op.split(" = ")[0].lower()
+        for name, pred in buckets:
+            if pred(o):
+                return name
+        return "other"
+
+    groups = {name: 0.0 for name, _ in buckets}
+    groups["other"] = 0.0
+    for op, ps in leaf.items():
+        groups[bucket_of(op)] += ps / total
+    groups = {k: round(v, 4) for k, v in groups.items()}
     return {
         "xplane": paths[-1],
         "plane": plane.name,

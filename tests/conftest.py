@@ -70,6 +70,7 @@ _FAST_MODULES = {
     "test_params_io",
     "test_hub",
     "test_families",
+    "test_torch_block_parity",
 }
 
 

@@ -36,7 +36,11 @@ def build_step(batch: int = 4):
     from tdm_tpu.models import pixart
     from tdm_tpu.train import optim as topt, tdm
 
-    cfg = dataclasses.replace(pixart.PixArtConfig(), remat=True)
+    # same config the tdm-train CLI and bench.py train run (flash-attention
+    # backward — the round-4 +36% finding this script surfaced)
+    cfg = dataclasses.replace(
+        pixart.PixArtConfig(), remat=True, attn_impl="pallas"
+    )
     model = pixart.PixArtTransformer2D(cfg=cfg)
     seq = 120
     latent = jnp.zeros((1, 4, 64, 64), jnp.bfloat16)
@@ -101,14 +105,20 @@ def main(argv=None):
 
     # un-profiled baseline FIRST: tracing adds substantial overhead on the
     # tunneled transport (162k events shipped host-side), so MFU comes
-    # from this wall clock, not the traced one
-    t0 = time.perf_counter()
-    for i in range(a.steps):
+    # from this wall clock, not the traced one. Per-step sync + MIN: the
+    # tunnel has multi-second slow episodes (identical programs measured
+    # 0.83/1.04/3.05 s/step across runs) — the minimum is the
+    # hardware-meaningful number, the median shows the episode tax.
+    per_step = []
+    for i in range(max(a.steps, 5)):
+        t0 = time.perf_counter()
         state, metrics = jit_step(
             state, jax.random.fold_in(rng, 100 + i), cond, uncond, teacher
         )
-    float(metrics.loss_student)  # real sync (ENVIRONMENT_NOTES #1)
-    wall_plain = (time.perf_counter() - t0) / a.steps
+        float(metrics.loss_student)  # real sync (ENVIRONMENT_NOTES #1)
+        per_step.append(time.perf_counter() - t0)
+    wall_plain = min(per_step)
+    wall_median = sorted(per_step)[len(per_step) // 2]
 
     t0 = time.perf_counter()
     with jax.profiler.trace(a.trace_dir):
@@ -134,6 +144,7 @@ def main(argv=None):
     out = {
         "metric": "pixart512_tdm_train_profile",
         "wall_s_per_step": round(step_s, 3),
+        "wall_s_per_step_median": round(wall_median, 3),
         "wall_s_per_step_traced": round(wall / a.steps, 3),
         "device_busy_ms_total": s["total_busy_ms"],
         "events": s["events"],
@@ -165,9 +176,12 @@ def _write_docs(out: dict, a) -> None:
 _Generated by `python scripts/profile_train_step.py --write-docs`
 ({a.steps} profiled steps, batch {a.batch}, full-size PixArt)._
 
-* wall clock (un-traced): **{out['wall_s_per_step']:.2f} s/step**
-  ({3600 / out['wall_s_per_step']:.0f} iters/hour; tracing itself costs
-  {out['wall_s_per_step_traced']:.2f} s/step over the tunneled transport)
+* wall clock (un-traced, per-step-synced MIN over ≥5 steps):
+  **{out['wall_s_per_step']:.2f} s/step**
+  ({3600 / out['wall_s_per_step']:.0f} iters/hour; median
+  {out['wall_s_per_step_median']:.2f} — the tunneled transport has
+  multi-second slow episodes; tracing itself costs
+  {out['wall_s_per_step_traced']:.2f} s/step)
 * analytic throughput: **{out['analytic_tflops']:.0f} TFLOP/s ≈
   {out['analytic_mfu_v5e_pct']:.0f}% of v5e peak** (197 bf16 TFLOP/s;
   parameter-FLOP count over ~12 forward-equivalents/step)

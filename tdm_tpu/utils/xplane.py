@@ -195,14 +195,22 @@ def device_summary(
         ("fusion_other", lambda o: "fusion" in o),
     ]
 
+    import re
+
     def bucket_of(op: str) -> str:
-        # classify on the op NAME only — the full event string carries
-        # operand text ("fusion(bf16[...] %copy...)") that would misfile
-        # nearly everything into data_movement
-        o = op.split(" = ")[0].lower()
-        for name, pred in buckets:
+        # classify on the op NAME plus the HLO op KIND (the token before
+        # the operand list, e.g. "%attn1.111 = bf16[...] custom-call(...)"
+        # → kind custom-call). Using the FULL event string would misfile
+        # nearly everything: operand text mentions other ops' names.
+        name, _, rhs = op.partition(" = ")
+        kind = ""
+        m = re.search(r"([a-z][a-z0-9\-_.]*)\(", rhs)
+        if m:
+            kind = m.group(1)
+        o = f"{name} {kind}".lower()
+        for bname, pred in buckets:
             if pred(o):
-                return name
+                return bname
         return "other"
 
     groups = {name: 0.0 for name, _ in buckets}

@@ -293,18 +293,20 @@ def bench_serve(batch: int = 4, requests: int = 40, quant: bool = False) -> dict
     same 2 img/s north star as the raw sampler — the gap between this and
     `bench.py sd3` is the serving overhead.
 
-    Measured (v5e, idle box): 1.97 img/s vs 2.49 raw. The residual gap is
-    tunnel I/O, not design: per-request bf16 embedding upload (~2.7 MB) +
-    per-batch f32 latent readback (4.2 MB) at the axon tunnel's ~15 MB/s.
-    On a real TPU host (PCIe DMA, GB/s) the same traffic is ~1 ms/batch.
-    History: 1.12 (f32 host conds concat+uploaded per batch on the worker)
-    → 1.54 (device-resident conds, uploaded per request off the critical
-    path) → 1.69 (host-side bf16 cast so uploads are half-width)
-    → 1.97 (result readback moved to a resolver thread, overlapping the
-    next batch's compute). serve_int8 measured 1.83 — NEUTRAL here
-    (within tunnel spread): once readback/uploads overlap, the served
-    path is paced by the same compute as `sd3`, but int8's +8.7% is
-    smaller than the run-to-run spread at this batch count."""
+    Measured (v5e, idle box, round 4): **2.055 img/s** vs 2.49 raw — over
+    the 2.0 north star. History: 1.12 (f32 host conds concat+uploaded per
+    batch on the worker) → 1.54 (device-resident conds, uploaded per
+    request off the critical path) → 1.69 (host-side bf16 cast so uploads
+    are half-width) → 1.97 (result readback moved to a resolver thread,
+    overlapping the next batch's compute) → 2.06 (device-side bf16
+    readback downcast: the downlink SHARES tunnel bandwidth with the
+    uploads, so halving result bytes is throughput). The JSON carries the
+    measured I/O breakdown (bytes from the batcher's own accounting + a
+    live bandwidth probe) so the residual vs the raw sampler is auditable.
+    serve_int8 measured 1.83-2.00 — NEUTRAL here (within tunnel spread):
+    once readback/uploads overlap, the served path is paced by the same
+    compute as `sd3`, but int8's +8.7% is smaller than the run-to-run
+    spread at this batch count."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -500,6 +500,24 @@ def main(argv: Optional[list[str]] = None) -> None:
         state = jax.device_put(state, pmesh.replicated(mesh))
         teacher = jax.device_put(teacher, pmesh.replicated(mesh))
     train_step = jax.jit(step_fn, donate_argnums=(0,))
+    # activation layout constraints on plain GSPMD meshes (fsdp/tp): pin
+    # the attention/adaLN activation (and thus cotangent) layouts so the
+    # spmd partitioner never hits its "Involuntary full rematerialization"
+    # fallback (parallel/mesh.py constrain — an all-gather + repartition
+    # on the ICI critical path every step otherwise). OFF under the
+    # shard_map paths (pp/sp): their manual mesh axes must not appear in
+    # sharding constraints, and constrain() is a no-op without the context.
+    _act_ctx = (
+        pmesh.activation_sharding(mesh)
+        if (cfg.pp <= 1 and n_sp <= 1 and (cfg.fsdp > 1 or cfg.tp > 1))
+        else None
+    )
+
+    def run_train_step(*args):
+        if _act_ctx is None:
+            return train_step(*args)
+        with _act_ctx:  # trace-time only; reentrant (sets/restores a global)
+            return train_step(*args)
 
     # ---- resume ----
     mgr = ckpt_lib.CheckpointManager(
@@ -647,7 +665,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         rng, step_rng = jax.random.split(rng)
         # teacher passed as an ARGUMENT (not closure) so the 0.6B frozen
         # tree is a jit parameter, not baked-in HLO constants
-        state, metrics = train_step(state, step_rng, cond, uncond, teacher)
+        state, metrics = run_train_step(state, step_rng, cond, uncond, teacher)
         micro_step += 1
         if micro_step % accum != 0:
             continue  # mid-accumulation: params bit-unchanged, no cadence

@@ -52,12 +52,15 @@ _ROW = {"to_out", "to_add_out"}
 # top-level `proj_out` output head (PixArt/SD3/CogVideoX all have one) and
 # the patch-embed `proj` stay replicated.
 _FF_PARENTS = {"ff", "ff_context", "net", "mlp"}
-# Shared adaLN modulation heads (kept replicated under the fsdp rule — see
-# tp_fsdp_spec): PixArt adaln-single 't_block', SD3/CogVideoX per-block
-# 'norm1'/'norm1_context'/'norm2' linears and the final 'norm_out'.
-_MODULATION_HEADS = {
-    "t_block", "norm1", "norm1_context", "norm2", "norm_out",
-}
+# SHARED adaLN modulation heads kept replicated under the fsdp rule (see
+# tp_fsdp_spec): PixArt's adaln-single 't_block' and the models' final
+# 'norm_out' — one small kernel each (t_block: 8M of PixArt's 610M), whose
+# fsdp-sharded gradient forces a GSPMD full-remat reshard of a tiny
+# per-sample cotangent every step. The PER-BLOCK modulation linears
+# (SD3/CogVideoX norm1/norm1_context/norm2) are NOT here: collectively
+# they are ~30% of those models' params, and replicating them breaks the
+# ZeRO-3 HBM budget (tests/test_hbm_audit.py).
+_MODULATION_HEADS = {"t_block", "norm_out"}
 
 
 def make_tp_mesh(

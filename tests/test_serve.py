@@ -476,3 +476,26 @@ def test_cache_served_cfg_uses_uncond_fields(tmp_path):
         assert np.all(np.isfinite(np.asarray(out)))
     finally:
         mb.close()
+
+
+def test_batcher_readback_dtype_downcast(pipe):
+    """readback_dtype='bfloat16': results come back f32 (host upcast) within
+    one bf16 rounding of the native path, and the byte accounting halves —
+    the serving knob behind bench.py serve's ≥2.0 img/s bf16 number."""
+    CALL2 = dict(CALL)
+    native = MicroBatcher(pipe, batch_size=1, max_delay_ms=5.0, call_kwargs=CALL2)
+    a = native.generate("a cat", seed=3)
+    rb_native = native.stats.readback_bytes
+    native.close()
+
+    bf16 = MicroBatcher(
+        pipe, batch_size=1, max_delay_ms=5.0, call_kwargs=CALL2,
+        readback_dtype="bfloat16",
+    )
+    b = bf16.generate("a cat", seed=3)
+    rb_bf16 = bf16.stats.readback_bytes
+    bf16.close()
+
+    assert a.dtype == np.float32 and b.dtype == np.float32
+    np.testing.assert_allclose(a, b, atol=8e-3)  # one bf16 rounding
+    assert rb_bf16 * 2 == rb_native, (rb_bf16, rb_native)

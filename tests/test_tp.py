@@ -118,15 +118,21 @@ def test_tp_fsdp_spec_rule():
         ("params", "proj_out", "kernel"), (1024, 1024), 4, 2
     )
     assert "fsdp" in tuple(spec) and "tp" not in tuple(spec)
-    # shared adaLN modulation heads stay REPLICATED (their fsdp-sharded
+    # SHARED adaLN modulation heads stay REPLICATED (their fsdp-sharded
     # gradient forces a GSPMD full-remat reshard of a per-sample cotangent
-    # every step — see parallel/tp.py _MODULATION_HEADS)
+    # every step — see parallel/tp.py _MODULATION_HEADS)...
     assert tp_fsdp_spec(
         ("params", "t_block", "kernel"), (1024, 1024), 4, 2
     ) == ()
     assert tp_fsdp_spec(
-        ("params", "blocks", "norm1", "linear", "kernel"), (512, 3072), 4, 2
+        ("params", "norm_out", "linear", "kernel"), (1024, 2048), 4, 2
     ) == ()
+    # ...but the PER-BLOCK modulation linears keep ZeRO-3 sharding — they
+    # are ~30% of SD3/CogVideoX params (tests/test_hbm_audit.py)
+    assert "fsdp" in tuple(tp_fsdp_spec(
+        ("params", "blocks", "norm1", "linear", "kernel"),
+        (24, 1536, 9216), 1, 2,
+    ))
     # small leaves stay replicated; blockwise-int8 moment shapes (which
     # break the name rule's divisibility) degrade gracefully
     assert tp_fsdp_spec(("params", "norm", "scale"), (64,), 4, 2) == ()
@@ -265,3 +271,41 @@ def test_tp_forward_parity_unet():
         jax.device_put(params, shardings), lat, t, ctx, mask
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_activation_constrain_helper():
+    """parallel/mesh.py constrain(): resolves axis names against the
+    activation_sharding() mesh, drops absent/non-dividing axes, and is a
+    no-op outside the context — the guard rails that make it safe to call
+    unconditionally inside model code."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from tdm_tpu.parallel import mesh as pmesh
+
+    x = jnp.ones((4, 6, 8))
+    # outside the context: identity (same object, no constraint inserted)
+    assert pmesh.constrain(x, pmesh.BATCH, None, None) is x
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "tp"))
+    with pmesh.activation_sharding(mesh):
+        out = jax.jit(
+            lambda v: pmesh.constrain(v, pmesh.BATCH, "tp", None)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        # non-dividing dims degrade to None instead of erroring:
+        # dim0=5 does not divide data·fsdp=4 (dropped); dim1=6 divides
+        # tp=2 (kept) — the call must still succeed and preserve values
+        y = jnp.ones((5, 6))
+        out2 = jax.jit(
+            lambda v: pmesh.constrain(v, pmesh.BATCH, "tp")
+        )(y)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(y))
+        # unknown axis names are ignored, not an error
+        out3 = pmesh.constrain(x, "nonexistent_axis", None, None)
+        np.testing.assert_array_equal(np.asarray(out3), np.asarray(x))
+    # context restored
+    assert pmesh.constrain(x, pmesh.BATCH, None, None) is x

@@ -198,17 +198,23 @@ def bench_tdm_train_step(
     uncond = (jnp.zeros_like(text), mask)
     rng = jax.random.PRNGKey(1)
     state, warm = jit_step(state, rng, cond, uncond, teacher)  # compile
-    # TRUE sync on both window edges: block_until_ready does not block on
-    # the tunnel (ENVIRONMENT_NOTES #1) — without the scalar readbacks the
-    # warmup execution leaks INTO the window and the tail leaks OUT
+    # TRUE per-step syncs + MIN: block_until_ready does not block on the
+    # tunnel (ENVIRONMENT_NOTES #1), and the tunnel has multi-second slow
+    # episodes lasting minutes (#21) — identical programs measured
+    # 0.83/1.1/3.05 s/step across runs. The per-step minimum is the
+    # hardware-meaningful number; the median is also reported in the unit
+    # string so episode-paced runs are visible.
     float(warm.loss_student)
-    t0 = time.perf_counter()
+    per_step = []
     for i in range(iters):
+        t0 = time.perf_counter()
         state, metrics = jit_step(
             state, jax.random.fold_in(rng, i), cond, uncond, teacher
         )
-    float(metrics.loss_student)
-    dt = (time.perf_counter() - t0) / iters
+        float(metrics.loss_student)
+        per_step.append(time.perf_counter() - t0)
+    dt = min(per_step)
+    dt_median = sorted(per_step)[len(per_step) // 2]
     iters_per_hour = 3600.0 / dt
     # baseline: reference trains 500 iters in ~2 A800-GPU-hours on 2 GPUs
     # (~1h wall) → 500 iters/hour (README.md:19)
@@ -219,7 +225,10 @@ def bench_tdm_train_step(
     return {
         "metric": f"{name}_iters_per_hour_per_chip",
         "value": round(iters_per_hour, 1),
-        "unit": f"iters/hour (batch {batch})",
+        "unit": (
+            f"iters/hour (batch {batch}, per-step min; median "
+            f"{3600.0 / dt_median:.0f})"
+        ),
         "vs_baseline": round(iters_per_hour / 500.0, 3),
     }
 

@@ -88,10 +88,10 @@ def main(argv: Optional[list[str]] = None) -> None:
                 "--sp (frame-sharded sequence parallelism) supports "
                 "--model_family cogvideox only"
             )
-        if max(cfg.fsdp, 1) > 1 or cfg.tp > 1 or cfg.pp > 1 or n_ep > 1:
+        if cfg.tp > 1 or cfg.pp > 1 or n_ep > 1:
             raise ValueError(
-                "--sp is currently exclusive with --fsdp/--tp/--pp/--ep "
-                "(('data','sp') mesh)"
+                "--sp composes with --fsdp only (tp/pp/ep x sp is "
+                "unsupported)"
             )
         if cfg.quant_forwards:
             raise ValueError("--sp with --quant_forwards is not supported")
@@ -153,14 +153,27 @@ def main(argv: Optional[list[str]] = None) -> None:
         # attention runs as ring attention inside a shard_map
         # (models/cogvideox.py sequence_parallel_apply) — distributed VIDEO
         # distillation beyond one chip's HBM. 'sp' innermost: the per-block
-        # ring ppermute is the latency-critical collective. Reference
-        # long-video surface: README.md:114-138 (single-GPU memory-bound).
+        # ring ppermute is the latency-critical collective. --fsdp composes
+        # as an AUTOMATIC axis inside the shard_map: params/optimizer shard
+        # over 'fsdp' (pure ZeRO weight sharding — fsdp devices cooperate
+        # on the same rows here, batch_sharding covers 'data' only) while
+        # GSPMD inserts the per-layer gathers. Reference long-video
+        # surface: README.md:114-138 (single-GPU memory-bound).
         from jax.sharding import Mesh
 
-        mesh = Mesh(
-            np.asarray(devices).reshape(n_dev // n_sp, n_sp),
-            (pmesh.DATA_AXIS, "sp"),
-        )
+        n_fsdp = max(cfg.fsdp, 1)
+        if n_fsdp > 1:
+            mesh = Mesh(
+                np.asarray(devices).reshape(
+                    n_dev // (n_fsdp * n_sp), n_fsdp, n_sp
+                ),
+                (pmesh.DATA_AXIS, pmesh.FSDP_AXIS, "sp"),
+            )
+        else:
+            mesh = Mesh(
+                np.asarray(devices).reshape(n_dev // n_sp, n_sp),
+                (pmesh.DATA_AXIS, "sp"),
+            )
     elif cfg.tp > 1:
         # --quant_forwards composes: the int8 interceptor traces global
         # shapes, so absmax scales lower to collectives and match the
@@ -181,6 +194,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     # (pmesh.put_batch assembles the global array), matching accelerate's
     # per-rank DataLoader shards.
     n_data_ranks = n_dev // (max(cfg.tp, 1) * max(cfg.pp, 1) * n_ep * n_sp)
+    if n_sp > 1:
+        # under sp, 'fsdp' devices cooperate on the SAME rows (pure ZeRO
+        # weight sharding — see pmesh.batch_sharding): they are not data
+        # ranks and don't multiply the global batch
+        n_data_ranks //= max(cfg.fsdp, 1)
     global_batch = cfg.train_batch_size * n_data_ranks
     local_batch = global_batch // jax.process_count()
 

@@ -149,10 +149,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     Sharding the batch over 'data' alone would make fsdp pairs compute the
     same rows redundantly — an accidental (and less efficient) tensor
     parallelism. Model-parallel axes ('tp', 'sp') stay replicated: their
-    whole point is cooperating on the SAME rows."""
+    whole point is cooperating on the SAME rows.
+
+    EXCEPT under sequence parallelism: on a ('data','fsdp','sp') mesh the
+    sp shard_map's manual batch spec covers 'data' only, so 'fsdp' devices
+    cooperate on the same rows too and fsdp degrades (deliberately) to
+    pure ZeRO weight/optimizer sharding — the HBM relief is the point for
+    video-scale states (tests/test_tdm_video.py sp+fsdp exactness)."""
     axes = tuple(
         a for a in (DATA_AXIS, FSDP_AXIS) if a in mesh.axis_names
     )
+    if "sp" in mesh.axis_names:
+        axes = tuple(a for a in axes if a == DATA_AXIS)
     return NamedSharding(mesh, P(axes))
 
 

@@ -137,7 +137,9 @@ class TrainConfig:
     # 'sp', every block's attention runs as ring attention over ICI
     # (models/cogvideox.py sequence_parallel_apply; reference long-video
     # surface README.md:114-138 is single-GPU memory-bound). Mesh becomes
-    # ('data','sp'); currently exclusive with --fsdp/--tp/--pp/--ep.
+    # ('data'[,'fsdp'],'sp') — composes with --fsdp (pure ZeRO weight
+    # sharding; fsdp devices cooperate on the same rows), exclusive with
+    # --tp/--pp/--ep.
     sp: int = 1
     # research extension: distill a mixture-of-experts PixArt student —
     # swaps each block's MLP for a top-k MoE (PixArtConfig.moe_experts).

@@ -187,11 +187,12 @@ def test_train_cli_model_family_cogvideox(tmp_path, monkeypatch):
 
 
 def test_train_cli_cogvideox_sequence_parallel(tmp_path, monkeypatch):
-    """--sp 2: frame-sharded sequence-parallel VIDEO distillation through
-    the CLI — ('data','sp') mesh, every attention as ring attention inside
-    the jitted step (round-3 VERDICT missing #3: sp existed at library
-    level only). --num_frames 5 → 2 latent frames so sp=2 divides; kept at
-    4 devices total (data=2 x sp=2) to bound the XLA:CPU SPMD compile."""
+    """--sp 2 --fsdp 2: frame-sharded sequence-parallel VIDEO distillation
+    through the CLI — ('data','fsdp','sp') mesh, every attention as ring
+    attention inside the jitted step, params/optimizer ZeRO-sharded over
+    the automatic 'fsdp' axis (round-3 VERDICT missing #3: sp existed at
+    library level only). --num_frames 5 → 2 latent frames so sp=2 divides;
+    4 devices total (data=1 x fsdp=2 x sp=2) bounds the XLA:CPU compile."""
     import json as _json
     import os as _os
 
@@ -213,6 +214,7 @@ def test_train_cli_cogvideox_sequence_parallel(tmp_path, monkeypatch):
         "--seed", "0",
         "--model_family", "cogvideox",
         "--sp", "2",
+        "--fsdp", "2",
         "--num_frames", "5",
         "--max_devices", "4",
     ])
@@ -239,9 +241,9 @@ def test_train_cli_sp_rejects_bad_combinations(tmp_path, monkeypatch):
     ]
     with pytest.raises(ValueError, match="cogvideox only"):
         train_tdm.main(base + ["--model_family", "pixart", "--sp", "2"])
-    with pytest.raises(ValueError, match="exclusive"):
+    with pytest.raises(ValueError, match="composes with --fsdp only"):
         train_tdm.main(
-            base + ["--model_family", "cogvideox", "--sp", "2", "--fsdp", "2"]
+            base + ["--model_family", "cogvideox", "--sp", "2", "--tp", "2"]
         )
     with pytest.raises(ValueError, match="frame count"):
         # tiny config has 3 latent frames — 2 does not divide it

@@ -126,3 +126,66 @@ def test_video_tdm_step_sequence_parallel():
         d = np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64))
         assert d.max() <= 2.5e-3, f"max |Δ| {d.max():.2e} > 2 Adam steps"
         assert d.mean() <= 2e-4, f"mean |Δ| {d.mean():.2e} — systematic"
+
+
+def test_video_tdm_step_sequence_parallel_with_fsdp():
+    """sp COMPOSED with ZeRO weight sharding: the same train step on a
+    ('data','fsdp','sp') = {2,2,2} mesh with params/optimizer fsdp-sharded
+    as an AUTOMATIC axis inside the sp shard_map (GSPMD gathers per layer).
+    Exact losses vs the monolithic step, and the updated state must come
+    back genuinely fsdp-sharded — the tdm-train --sp --fsdp path."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from tdm_tpu.parallel import mesh as pmesh
+
+    base = dataclasses.replace(cog.CogVideoXConfig.tiny(), sample_frames=4)
+    sp_cfg = dataclasses.replace(base, sequence_parallel_axis="sp")
+    mono = cog.CogVideoXTransformer3D(cfg=base)
+    spm = cog.CogVideoXTransformer3D(cfg=sp_cfg)
+    schedule = sched.cogvideox()
+    b = 2
+    shape = (16, base.sample_frames, base.sample_h, base.sample_w)
+    text = jax.random.normal(
+        jax.random.PRNGKey(0), (b, base.max_text_len, base.text_dim)
+    )
+    teacher = mono.init(
+        jax.random.PRNGKey(1), jnp.zeros((b, *shape)), jnp.zeros((b,)), text
+    )["params"]
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+        ("data", "fsdp", "sp"),
+    )
+    sp_apply = cog.sequence_parallel_apply(spm, mesh, data_axis="data")
+
+    def run(denoise_raw, place):
+        config = tdm.TDMConfig(
+            total_steps=1000, num_steps=4, cfg=3.0, use_separate=True
+        )
+        tx = topt.make_optimizer(1e-3)
+        step = tdm.build_train_step(
+            denoise_raw, teacher, schedule, config, tx, tx,
+            sample_shape=shape,
+        )
+        state = tdm.init_state(teacher, teacher, tx, tx)
+        t_pl = teacher
+        if place:
+            state = jax.device_put(
+                state, pmesh.fsdp_shardings(state, mesh, min_size=2**10)
+            )
+            t_pl = jax.device_put(
+                teacher, pmesh.fsdp_shardings(teacher, mesh, min_size=2**10)
+            )
+        return jax.jit(step)(
+            state, jax.random.PRNGKey(2), text, jnp.zeros_like(text), t_pl
+        )
+
+    s_sp, m_sp = run(lambda p, x, t, c: sp_apply(p, x, t, c), place=True)
+    _, m_mono = run(
+        lambda p, x, t, c: mono.apply({"params": p}, x, t, c), place=False
+    )
+    d = abs(float(m_sp.loss_student) - float(m_mono.loss_student))
+    assert np.isfinite(float(m_sp.loss_student)) and d < 1e-4, d
+    q = s_sp.student["blocks"]["to_q"]["kernel"]
+    assert "fsdp" in tuple(q.sharding.spec), q.sharding

@@ -6,8 +6,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The full 4-NFE loop (4 MMDiT forwards at S≈4429 through the Pallas flash
 kernel + DPM-Solver++(2M) flow-sigma updates) is one jitted scan. Measured
-1.70 img/s/chip at batch 4 on the v5e ≈ 73% MFU by parameter-FLOP count —
-compute-bound, i.e. at the hardware roofline for bf16.
+2.49 img/s/chip at batch 4 on the v5e — 83% of peak by parameter-FLOP
+count, ~98% device-busy; the flash custom-call is 53% of that busy time
+(the D=64→128 padding tax — decomposition in docs/PERF.md).
 
 Perf notes (hard-won on the axon-tunneled v5e):
   * params are jit ARGUMENTS — closing over the 2B tree embeds ~4GB of HLO
@@ -15,8 +16,8 @@ Perf notes (hard-won on the axon-tunneled v5e):
   * scan-over-layers cuts compile ~24×; the persistent compilation cache
     amortizes the remaining ~2min first-compile.
 
-`python bench.py pixart` runs the secondary PixArt-512 4-NFE benchmark
-(17.9 img/s/chip — the reference's training model)."""
+Other modes: pixart / video / train / serve / distill (+ _int8 variants)
+— see the mode table at the bottom and README §Performance."""
 
 from __future__ import annotations
 

@@ -214,9 +214,11 @@ class FeedForward(nn.Module):
         dim = x.shape[-1]
         inner = dim * self.mult
         if self.activation == "geglu":
+            # diffusers GEGLU: h · gelu(gate) with EXACT (erf) gelu —
+            # F.gelu's default; only 'gelu-approximate' is the tanh variant
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
-            h = h * nn.gelu(gate, approximate=True)
+            h = h * nn.gelu(gate, approximate=False)
         elif self.activation == "gelu-approximate":
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
             h = nn.gelu(h, approximate=True)

@@ -184,8 +184,11 @@ class UNet2DCondition(nn.Module):
                     )
                 skips.append(x)
             if i < n_stages - 1:
-                x = nn.Conv(w, (3, 3), strides=(2, 2),
-                            padding=((0, 1), (0, 1)), dtype=c.dtype,
+                # diffusers Downsample2D: SYMMETRIC padding 1 (the UNet
+                # config's downsample_padding=1) — the asymmetric (0,1) pad
+                # belongs to the VAE encoder, not the UNet
+                x = nn.Conv(w, (3, 3), strides=(2, 2), padding=1,
+                            dtype=c.dtype,
                             name=f"down_{i}_downsample")(x)
                 skips.append(x)
 

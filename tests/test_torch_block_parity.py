@@ -1,4 +1,4 @@
-"""Block-level torch replicas of the three riskiest denoiser semantics.
+"""Block-level torch replicas of the riskiest denoiser semantics.
 
 Round-3 VERDICT: converter tests were structural-only — synthetic state
 dicts built from the same assumptions as the converters can share a
@@ -18,6 +18,11 @@ block under IDENTICAL weights:
      per-head qk LayerNorm, and 3D RoPE on video tokens only in the
      interleaved-pair convention (diffusers CogVideoXBlock +
      apply_rotary_emb — reference recipe README.md:114-138)
+  4. SD1.5 UNet, the FULL tiny forward (diffusers UNet2DConditionModel —
+     reference import src/main.py:46, Dreamshaper recipe README.md:90-107):
+     ResnetBlock2D temb injection point, Downsample2D symmetric padding,
+     nearest-upsample + conv, skip-stack pop order, GEGLU with EXACT gelu,
+     Timesteps flip_sin_to_cos ordering
 
 The torch side is written from diffusers' documented block semantics using
 only torch primitives — an independent reimplementation in a different
@@ -27,15 +32,20 @@ parity (real HF weights) is covered by tests/test_parity_fixtures.py +
 scripts/record_parity_fixtures.py on a diffusers-equipped machine.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
-import torch.nn.functional as F
+import pytest
 
-from tdm_tpu.models import cogvideox as cog
-from tdm_tpu.models import mmdit_sd3 as mmdit
-from tdm_tpu.models import pixart
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from tdm_tpu.models import cogvideox as cog  # noqa: E402
+from tdm_tpu.models import mmdit_sd3 as mmdit  # noqa: E402
+from tdm_tpu.models import pixart  # noqa: E402
+from tdm_tpu.models import unet_sd15  # noqa: E402
 
 
 def _t(x) -> torch.Tensor:
@@ -356,3 +366,158 @@ def test_rope_3d_matches_diffusers_construction():
     np.testing.assert_allclose(
         sin_j, full.sin().float().numpy(), atol=1e-6, rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. SD1.5 UNet — full tiny forward
+# ---------------------------------------------------------------------------
+
+
+def _conv(p: dict, x, stride=1, padding=1):
+    """Flax Conv params {kernel HWIO, bias} → torch F.conv2d (OIHW)."""
+    w = torch.from_numpy(
+        np.transpose(np.asarray(p["kernel"], np.float32), (3, 2, 0, 1)).copy()
+    )
+    return F.conv2d(x, w, _t(p["bias"]), stride=stride, padding=padding)
+
+
+def _gn(p: dict, x, groups: int, eps: float):
+    return F.group_norm(x, groups, _t(p["scale"]), _t(p["bias"]), eps)
+
+
+def _ln_affine(p: dict, x, eps: float = 1e-5):
+    return F.layer_norm(x, (x.shape[-1],), _t(p["scale"]), _t(p["bias"]), eps)
+
+
+def _torch_sd15_resblock(p, x, temb, groups):
+    """diffusers ResnetBlock2D: GN(1e-5)→silu→conv3×3 → +time_emb_proj(silu
+    (temb)) → GN→silu→conv3×3, 1×1 conv_shortcut on channel change."""
+    h = _conv(p["conv1"], F.silu(_gn(p["norm1"], x, groups, 1e-5)))
+    h = h + _lin(p["time_emb_proj"])(F.silu(temb))[:, :, None, None]
+    h = _conv(p["conv2"], F.silu(_gn(p["norm2"], h, groups, 1e-5)))
+    if "conv_shortcut" in p:
+        x = _conv(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def _geglu_ff(ff: dict, x):
+    """diffusers FeedForward(activation_fn='geglu'): proj → chunk(h, gate) →
+    h · gelu(gate) with EXACT (erf) gelu — GEGLU uses F.gelu's default,
+    unlike PixArt's 'gelu-approximate' tanh path."""
+    h, gate = _lin(ff["proj_in"])(x).chunk(2, dim=-1)
+    return _lin(ff["proj_out"])(h * F.gelu(gate))
+
+
+def _torch_sd15_tblock(p, x, ctx, heads):
+    """diffusers BasicTransformerBlock (SD1.5): affine pre-LN (eps 1e-5),
+    self-attn → cross-attn → GEGLU FF; q/k/v have no bias, to_out does."""
+    h = _ln_affine(p["norm1"], x)
+    a1 = p["attn1"]
+    x = x + _lin(a1["to_out"])(
+        _mha(_lin(a1["to_q"])(h), _lin(a1["to_k"])(h), _lin(a1["to_v"])(h), heads)
+    )
+    h = _ln_affine(p["norm2"], x)
+    a2 = p["attn2"]
+    x = x + _lin(a2["to_out"])(
+        _mha(_lin(a2["to_q"])(h), _lin(a2["to_k"])(ctx), _lin(a2["to_v"])(ctx), heads)
+    )
+    h = _ln_affine(p["norm3"], x)
+    return x + _geglu_ff(p["ff"], h)
+
+
+def _torch_sd15_spatial(p, x, ctx, groups, heads, width):
+    """diffusers Transformer2DModel depth-1 (SD1.5 use_linear_projection=
+    False — the 1×1 convs are math-identical to token-space linears):
+    GN(1e-6) → proj_in → block → proj_out + residual."""
+    res = x
+    b, c, hh, ww = x.shape
+    h = _gn(p["norm"], x, groups, 1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    h = _lin(p["proj_in"])(h)
+    h = _torch_sd15_tblock(p["transformer_blocks_0"], h, ctx, heads)
+    h = _lin(p["proj_out"])(h)
+    return res + h.reshape(b, hh, ww, width).permute(0, 3, 1, 2)
+
+
+def _torch_sd15_unet(params, cfg, latent, t, context):
+    """Full diffusers UNet2DConditionModel forward (SD1.5 topology) from
+    torch primitives, NCHW. Downsample2D = conv3×3 stride 2 SYMMETRIC
+    padding 1 (the UNet config's downsample_padding=1 — distinct from the
+    VAE encoder's asymmetric (0,1) pad); Upsample2D = nearest ×2 + conv3×3;
+    Timesteps(width0, flip_sin_to_cos=True, freq_shift=0) → [cos, sin]."""
+    widths = list(cfg.block_widths)
+    n = len(widths)
+    groups, heads = cfg.norm_groups, cfg.num_heads
+
+    half = widths[0] // 2
+    freqs = torch.exp(
+        -math.log(10000.0) * torch.arange(half, dtype=torch.float64) / half
+    ).float()
+    args = t[:, None] * freqs[None, :]
+    emb = torch.cat([args.cos(), args.sin()], dim=-1)
+    te = params["time_embedding"]
+    temb = _lin(te["linear_2"])(F.silu(_lin(te["linear_1"])(emb)))
+
+    x = _conv(params["conv_in"], latent)
+    skips = [x]
+    for i, w in enumerate(widths):
+        has_attn = i < n - 1
+        for j in range(cfg.layers_per_block):
+            x = _torch_sd15_resblock(params[f"down_{i}_res_{j}"], x, temb, groups)
+            if has_attn:
+                x = _torch_sd15_spatial(
+                    params[f"down_{i}_attn_{j}"], x, context, groups, heads, w
+                )
+            skips.append(x)
+        if i < n - 1:
+            x = _conv(params[f"down_{i}_downsample"], x, stride=2, padding=1)
+            skips.append(x)
+
+    x = _torch_sd15_resblock(params["mid_res_0"], x, temb, groups)
+    x = _torch_sd15_spatial(params["mid_attn"], x, context, groups, heads, widths[-1])
+    x = _torch_sd15_resblock(params["mid_res_1"], x, temb, groups)
+
+    for i, w in enumerate(reversed(widths)):
+        stage = n - 1 - i
+        has_attn = stage < n - 1
+        for j in range(cfg.layers_per_block + 1):
+            x = torch.cat([x, skips.pop()], dim=1)
+            x = _torch_sd15_resblock(params[f"up_{i}_res_{j}"], x, temb, groups)
+            if has_attn:
+                x = _torch_sd15_spatial(
+                    params[f"up_{i}_attn_{j}"], x, context, groups, heads, w
+                )
+        if stage > 0:
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            x = _conv(params[f"up_{i}_upsample"], x)
+
+    x = F.silu(_gn(params["conv_norm_out"], x, groups, 1e-5))
+    return _conv(params["conv_out"], x)
+
+
+def test_sd15_unet_matches_torch_replica():
+    """Weight-identical full-forward agreement: every structural choice
+    (temb injection, downsample padding, skip pop order, GEGLU gelu flavor,
+    sinusoid ordering) must match diffusers' UNet2DConditionModel."""
+    cfg = unet_sd15.UNetConfig.tiny()
+    model = unet_sd15.UNet2DCondition(cfg=cfg)
+    rng = np.random.default_rng(3)
+    b, hw, l = 2, 16, 6
+    latent = rng.standard_normal((b, 4, hw, hw), np.float32)
+    t = rng.uniform(0, 999, (b,)).astype(np.float32)
+    ctx = rng.standard_normal((b, l, cfg.context_dim), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(3), jnp.asarray(latent), jnp.asarray(t),
+        jnp.asarray(ctx), None,
+    )["params"]
+    flax_out = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(latent), jnp.asarray(t),
+            jnp.asarray(ctx), None,
+        )
+    )
+    with torch.no_grad():
+        torch_out = _torch_sd15_unet(
+            jax.tree.map(np.asarray, params), cfg, _t(latent), _t(t), _t(ctx)
+        ).numpy()
+    np.testing.assert_allclose(flax_out, torch_out, atol=1e-4, rtol=1e-4)

@@ -11,9 +11,16 @@ no weights read, no torch needed):
     tdm-convert --family sd3 --check-manifest manifest.json
 
 `scripts/record_parity_fixtures.py --manifest` captures the same JSON from
-a real checkout on any machine; `tests/fixtures/manifests/` commits the
-expected inventories for the four recipe checkpoints (README.md:45-57,
-95-98, 114-138) plus their VAEs.
+a real checkout on any machine. NOTE: the committed
+`tests/fixtures/manifests/` files are currently GENERATOR OUTPUT
+(regenerated via `--write-expected-manifests`) — a regression pin on this
+module, not yet independent evidence against the released checkpoints
+(README.md:45-57, 95-98, 114-138). Replace them with `--manifest` captures
+from real safetensors headers the first time a diffusers-equipped machine
+is available (tests/fixtures/parity/README.md documents the procedure);
+until then a generator misconception shared with the converters would not
+be caught here (it IS caught at block level by
+tests/test_torch_block_parity.py).
 
 The inventories are the single source of truth for the HF key surface:
 tests build synthetic state dicts FROM them and push those through the

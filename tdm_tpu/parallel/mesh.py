@@ -22,6 +22,7 @@ psum (once per step) crosses DCN — the standard hybrid ICI×DCN layout.
 
 from __future__ import annotations
 
+import contextvars
 from typing import Any, Optional
 
 import jax
@@ -164,7 +165,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(axes))
 
 
-_ACTIVATION_MESH: Any = None  # set only inside activation_sharding()
+# Set only inside activation_sharding(). A ContextVar (not a module global)
+# so tracing model code from another thread — e.g. the serve daemon's worker
+# threads compiling while a training trace holds the context — cannot leak
+# constraints across threads.
+_ACTIVATION_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "tdm_activation_mesh", default=None
+)
 
 # The logical activation-layout vocabulary (resolved against the active
 # mesh; absent axes drop to None):
@@ -196,14 +203,11 @@ class activation_sharding:
         self.mesh = mesh
 
     def __enter__(self):
-        global _ACTIVATION_MESH
-        self._prev = _ACTIVATION_MESH
-        _ACTIVATION_MESH = self.mesh
+        self._token = _ACTIVATION_MESH.set(self.mesh)
         return self.mesh
 
     def __exit__(self, *exc):
-        global _ACTIVATION_MESH
-        _ACTIVATION_MESH = self._prev
+        _ACTIVATION_MESH.reset(self._token)
         return False
 
 
@@ -212,7 +216,7 @@ def constrain(x, *spec):
     by activation_sharding(); no-op otherwise. Each spec entry is an axis
     name, a tuple of axis names, or None; axes missing from the mesh (or
     not dividing the dimension) are dropped — never wrong, only weaker."""
-    mesh = _ACTIVATION_MESH
+    mesh = _ACTIVATION_MESH.get()
     if mesh is None:
         return x
     resolved = []

@@ -354,17 +354,24 @@ class DiffusionPipelineBase:
     @staticmethod
     def check_negative_prompt(
         negative_prompt: Optional[Sequence[str]], batch_size: int
-    ) -> None:
-        """diffusers' `check_inputs` parity: a negative_prompt list whose
-        length disagrees with the prompt batch must fail as a clear
-        ValueError at the Python boundary, not as an opaque XLA shape error
-        inside the jitted sampler."""
-        if negative_prompt is not None and len(negative_prompt) != batch_size:
+    ) -> Optional[Sequence[str]]:
+        """diffusers' `check_inputs` parity, returning the NORMALIZED value:
+        a plain str broadcasts to every prompt (diffusers semantics — it
+        must not be length-checked as a character sequence); a list whose
+        length disagrees with the prompt batch fails as a clear ValueError
+        at the Python boundary, not as an opaque XLA shape error inside the
+        jitted sampler."""
+        if negative_prompt is None:
+            return None
+        if isinstance(negative_prompt, str):
+            return [negative_prompt] * batch_size
+        if len(negative_prompt) != batch_size:
             raise ValueError(
                 f"negative_prompt has {len(negative_prompt)} entries but "
                 f"the prompt batch is {batch_size}; pass one negative "
-                "prompt per prompt"
+                "prompt per prompt (or a single str for all)"
             )
+        return negative_prompt
 
     @staticmethod
     def repeat_per_prompt(tree: Any, n: int) -> Any:

@@ -103,7 +103,9 @@ class CogVideoXPipeline(DiffusionPipelineBase):
     ) -> PipelineOutput:
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(prompt)
-        self.check_negative_prompt(negative_prompt, prompt_embeds.shape[0])
+        negative_prompt = self.check_negative_prompt(
+            negative_prompt, prompt_embeds.shape[0]
+        )
         use_cfg = guidance_scale is not None and guidance_scale > 1.0
         uncond = negative_embeds if use_cfg else None
         if use_cfg and uncond is None:

@@ -98,7 +98,7 @@ class PixArtPipeline(DiffusionPipelineBase):
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(prompt)
         cond = prompt_embeds
-        self.check_negative_prompt(
+        negative_prompt = self.check_negative_prompt(
             negative_prompt, jax.tree.leaves(prompt_embeds)[0].shape[0]
         )
         use_cfg = guidance_scale is not None and guidance_scale > 1.0

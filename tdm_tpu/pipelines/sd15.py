@@ -87,7 +87,7 @@ class SD15Pipeline(DiffusionPipelineBase):
     ) -> PipelineOutput:
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(prompt)
-        self.check_negative_prompt(
+        negative_prompt = self.check_negative_prompt(
             negative_prompt, jax.tree.leaves(prompt_embeds)[0].shape[0]
         )
         use_cfg = guidance_scale is not None and guidance_scale > 1.0

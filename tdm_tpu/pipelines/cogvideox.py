@@ -40,13 +40,21 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         schedule: Optional[sched.NoiseSchedule] = None,
         vae_tile: int = 32,
         vae_tile_overlap: int = 4,
+        vae_temporal_chunk: Optional[int] = None,
         sequence_parallel_mesh=None,
     ):
         """`sequence_parallel_mesh`: a jax Mesh whose axis named by the
         transformer cfg's `sequence_parallel_axis` shards the latent FRAME
         axis — videos longer than one chip's HBM run ring-attended across
         the mesh (models/cogvideox.sequence_parallel_apply). The latent
-        frame count must divide by the sp axis size."""
+        frame count must divide by the sp axis size.
+
+        `vae_temporal_chunk`: latent frames per VAE-decode call — the
+        reference's `vae.enable_slicing()` (README.md:117-118). Conv caches
+        carry across chunks (vae3d.decode_streaming), so the output is the
+        monolithic decode with peak activation HBM bounded by the chunk.
+        Composes with the spatial tiling (enable_tiling analog): each
+        spatial tile streams its frames."""
         super().__init__()
         self.transformer = transformer
         self.base_params = self.params = transformer_params
@@ -59,6 +67,7 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         self.schedule = schedule if schedule is not None else sched.cogvideox()
         self.vae_tile = vae_tile
         self.vae_tile_overlap = vae_tile_overlap
+        self.vae_temporal_chunk = vae_temporal_chunk
         self.sp_mesh = sequence_parallel_mesh
         ax = transformer.cfg.sequence_parallel_axis
         if (sequence_parallel_mesh is None) != (ax is None):
@@ -185,12 +194,21 @@ class CogVideoXPipeline(DiffusionPipelineBase):
         if output_type == "latent" or self.vae_decoder is None:
             return PipelineOutput(images=None, latents=latents)
         # one jitted per-tile decode, reused across every tile (all interior
-        # tiles share one shape, so one compile serves the whole sweep)
-        tile_dec = self._jit_component(
-            "vae3d_tile",
-            lambda: lambda p, z: self.vae_decoder.apply({"params": p}, z),
-        )
-        decode = lambda z: tile_dec(self.vae_params, z)
+        # tiles share one shape, so one compile serves the whole sweep);
+        # with vae_temporal_chunk set each tile additionally streams its
+        # frames through the conv-cache path (decode_streaming's _stream_
+        # chunk jits are module-level and shape-keyed, likewise reused)
+        if self.vae_temporal_chunk is not None:
+            decode = lambda z: vae3d.decode_streaming(
+                self.vae_decoder, self.vae_params, z,
+                chunk=self.vae_temporal_chunk,
+            )
+        else:
+            tile_dec = self._jit_component(
+                "vae3d_tile",
+                lambda: lambda p, z: self.vae_decoder.apply({"params": p}, z),
+            )
+            decode = lambda z: tile_dec(self.vae_params, z)
         video = vae3d.decode_tiled(
             decode,
             latents.astype(jnp.float32) / c.scaling_factor,

@@ -273,6 +273,27 @@ def test_cogvideox_pipeline_video_decode():
     with pytest.raises(AttributeError, match="video outputs"):
         PipelineOutput(images=jnp.zeros((1, 8, 8, 3))).frames
 
+    # enable_slicing analog: the conv-cache temporal streaming decode must
+    # reproduce the monolithic-decode pipeline output exactly (same seed →
+    # same latents; decode path differs only in chunking)
+    pipe_stream = CogVideoXPipeline(
+        model, params, vae_decoder=dec, vae_params=vparams, vae_cfg=vcfg,
+        vae_tile=8, vae_tile_overlap=2, vae_temporal_chunk=2,
+    )
+    out_s = pipe_stream(
+        prompt_embeds=jax.random.normal(
+            jax.random.PRNGKey(3), (1, cfg.max_text_len, cfg.text_dim)
+        ),
+        num_inference_steps=4,
+        num_frames=num_frames,
+        height=cfg.sample_h * vcfg.spatial_factor,
+        width=cfg.sample_w * vcfg.spatial_factor,
+        seed=8888,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.images), np.asarray(out.images), atol=1e-5, rtol=1e-5
+    )
+
 
 def test_cogvideox_negative_prompt_text_path():
     """With encoders attached and cfg>1, `negative_prompt` text is ENCODED

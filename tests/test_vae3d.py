@@ -66,6 +66,33 @@ def test_tiled_decode_matches_full(dec):
     assert np.isfinite(np.asarray(tiled)).all()
 
 
+def test_streaming_decode_exact(dec):
+    """Conv-cache streaming decode must EXACTLY reproduce the monolithic
+    decode (the reference's enable_slicing analog, README.md:117-118) —
+    causality + carried k_t−1 contexts make chunking lossless, unlike the
+    spatially tiled path's conv-halo seams. Tolerance 1e-5: the chunked
+    programs are separate XLA compilations, so conv reductions reassociate
+    (measured max|d| ~2e-6 fp32); anything above that is a semantic
+    boundary error (a wrong cache shifts whole frames, |d| ~O(1))."""
+    cfg, model, params, z = dec  # z: 5 latent frames
+    full = np.asarray(model.apply({"params": params}, z))
+    for chunk in (1, 2, 3):
+        out = np.asarray(vae3d.decode_streaming(model, params, z, chunk=chunk))
+        assert out.shape == full.shape
+        np.testing.assert_allclose(
+            out, full, atol=1e-5, rtol=1e-5,
+            err_msg=f"streaming decode (chunk={chunk}) diverged",
+        )
+
+
+def test_streaming_decode_single_chunk_fast_path(dec):
+    """f <= chunk falls back to the plain decode."""
+    cfg, model, params, z = dec
+    full = np.asarray(model.apply({"params": params}, z))
+    out = np.asarray(vae3d.decode_streaming(model, params, z, chunk=16))
+    np.testing.assert_allclose(out, full, atol=0, rtol=0)
+
+
 def test_encoder_roundtrip_shapes():
     cfg = vae3d.VAE3DConfig.tiny()
     enc = vae3d.VAE3DEncoder(cfg=cfg)

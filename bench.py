@@ -100,7 +100,12 @@ def bench_sd3_4nfe(batch: int = 4, iters: int = 5, quant: bool = False) -> dict:
     from tdm_tpu.core import solvers
     from tdm_tpu.models import mmdit_sd3
 
-    cfg = mmdit_sd3.MMDiTConfig()  # SD3-Medium 2B, bf16, scan-over-layers
+    # splash: jax's bundled d=64-native attention kernel (ops/attention.py)
+    # — 9.54 vs 11.04 ms/call over the in-repo flash kernel at this shape
+    # (scripts/sweep_splash_blocks.py); the flash custom-call is 53% of
+    # device busy here, so the kernel swap is the headline lever. Falls
+    # back to the flash kernel automatically if unavailable.
+    cfg = mmdit_sd3.MMDiTConfig(attn_impl="splash")  # SD3-Medium 2B, bf16
     model = mmdit_sd3.SD3Transformer2D(cfg=cfg)
     seq = 333  # 77 CLIP + 256 T5 joint context
     lat = jnp.zeros((batch, 16, 128, 128), jnp.bfloat16)  # 1024px latents

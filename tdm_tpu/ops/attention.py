@@ -71,7 +71,12 @@ def attention(
         text attention-mask convention of the reference's T5 conditioning,
         `src/main.py:459-461`). Broadcast over heads and queries.
       scale: defaults to 1/sqrt(D).
-      impl: 'auto' (pallas on TPU, xla elsewhere) | 'xla' | 'pallas'.
+      impl: 'auto' (pallas on TPU, xla elsewhere) | 'xla' | 'pallas' |
+        'splash' (jax's bundled splash-attention kernel with blocks tuned
+        for the SD3-1024 MMDiT shape — measured 9.54 vs 11.04 ms/call at
+        B4·H24·S4480·D64 on the v5e. Opt-in only: it has no
+        custom_partitioning rule, so it must not be traced under a sharded
+        mesh; masked attention and non-TPU backends fall back to 'pallas').
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -90,9 +95,110 @@ def attention(
         bias = jnp.where(key_mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
     if impl == "xla":
         return _xla_attention(q, k, v, bias, scale)
+    if impl == "splash":
+        if key_mask is None and (interpret or jax.default_backend() == "tpu"):
+            out = _splash_attention(q, k, v, scale, interpret)
+            if out is not None:
+                return out
+        impl = "pallas"  # masked / unsupported shapes / non-TPU: flash kernel
     if impl == "pallas":
         return _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# Splash attention (opt-in inference path)
+# ---------------------------------------------------------------------------
+
+# Swept at the SD3-1024 MMDiT shape (B4, H24, S4429→pad 4480, D64) on the
+# v5e: bq=1120/bkv=896 is the fastest legal config (9.54 ms/call vs 9.67 at
+# 896/896, 10.42 at 448/896; larger blocks fail to compile). Our own flash
+# kernel's best block config measures 11.04 ms at the same shape — splash's
+# fused layouts win ~14% forward-only, which matters because the flash
+# custom-call is 53% of SD3 inference device busy (docs/PERF.md).
+_SPLASH_BLOCK_Q = 1120
+_SPLASH_BLOCK_KV = 896
+
+
+def _splash_block(seq: int, pref: int) -> int:
+    """pref when the sequence is long enough, else one whole padded block
+    (splash block sizes must be multiples of 128 and divide the padded
+    sequence)."""
+    if seq >= pref:
+        return pref
+    return -(-seq // 128) * 128
+
+
+@functools.lru_cache(maxsize=16)
+def _splash_kernel(heads, sq, sk, interpret):
+    """Construct (and cache) a splash MHA kernel for [heads, sq, sk].
+
+    Padded query rows still attend the real keys (all-True rows — cheaper
+    than NaN-guarding fully-masked rows); padded KV columns are masked out.
+    Returns None when the bundled kernel is unavailable.
+    """
+    try:
+        import numpy as np
+        from jax.experimental.pallas.ops.tpu import splash_attention as sa
+    except ImportError:
+        return None
+    bq = _splash_block(sq, _SPLASH_BLOCK_Q)
+    bkv = _splash_block(sk, _SPLASH_BLOCK_KV)
+    sq_pad = -(-sq // bq) * bq
+    sk_pad = -(-sk // bkv) * bkv
+    if sk_pad == sk:
+        head_mask = sa.FullMask((sq_pad, sk_pad))
+    else:
+        valid = np.zeros((sq_pad, sk_pad), dtype=bool)
+        valid[:, :sk] = True
+        head_mask = sa.NumpyMask(valid)
+    # make_splash_mha device_puts its block-sparse mask tables; attention()
+    # is usually called mid-trace, where that would capture TRACERS in the
+    # (cached) kernel closure — force eager eval so the closure holds
+    # concrete constants valid across traces.
+    with jax.ensure_compile_time_eval():
+        kernel = sa.make_splash_mha(
+            mask=sa.MultiHeadMask([head_mask] * heads),
+            head_shards=1,
+            q_seq_shards=1,
+            block_sizes=sa.BlockSizes(
+                block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                # backward blocks so jax.grad through the opt-in path is
+                # defined (inference is the target; TRAINING pins our flash
+                # kernel, so these are correctness-only, untuned)
+                block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+                use_fused_bwd_kernel=True,
+            ),
+            interpret=interpret,
+        )
+    return kernel, sq_pad, sk_pad
+
+
+def _splash_attention(q, k, v, scale, interpret):
+    """Unmasked attention via jax's bundled splash kernel (padded + sliced
+    back). Returns None if the kernel can't serve this shape so the caller
+    falls back to the in-repo flash kernel."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if d % 128 not in (0, 64):  # swept/validated head dims only
+        return None
+    made = _splash_kernel(h, sq, sk, interpret)
+    if made is None:
+        return None
+    kernel, sq_pad, sk_pad = made
+    qp = _pad_to(q * jnp.asarray(scale, q.dtype), sq_pad, 2)
+    kp = _pad_to(k, sk_pad, 2)
+    vp = _pad_to(v, sk_pad, 2)
+    try:
+        out = jax.vmap(kernel)(qp, kp, vp)
+    except Exception as e:  # lowering/shape constraint — fall back, not fail
+        global _SPLASH_LAST_ERROR
+        _SPLASH_LAST_ERROR = e  # diagnosable: silent at runtime by design
+        return None
+    return out[:, :, :sq, :].astype(q.dtype)
+
+
+_SPLASH_LAST_ERROR: Exception | None = None
 
 
 def _xla_attention(q, k, v, bias, scale):

@@ -258,7 +258,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--flow_shift", type=float, default=None)
     p.add_argument("--lora", default=None)
     p.add_argument("--lora_scale", type=float, default=1.0)
-    p.add_argument("--quant", default=None, choices=(None, "int8"))
+    p.add_argument("--quant", default=None, choices=(None, "int8"),
+                   help="int8 denoiser matmuls: +8.7%% denoiser-only but a "
+                        "TIE at serve granularity on tunneled boxes (fixed "
+                        "VAE/PNG/transport costs dominate) — default bf16; "
+                        "see docs/PERF.md 'int8 at serve granularity'")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel serving over N local devices")
     p.add_argument("--dp", type=int, default=0,

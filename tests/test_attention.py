@@ -153,3 +153,79 @@ def test_pick_block_rule():
     assert _pick_block(1024, 1024) == 1024  # exact fit
     assert _pick_block(128, 1024) == 128  # short seq shrinks
     assert _pick_block(4096, 1024) == 1024  # exact fit at requested
+
+
+# ---------------------------------------------------------------------------
+# Splash attention (opt-in inference path, ops/attention.py _splash_attention)
+# ---------------------------------------------------------------------------
+
+
+def test_splash_unswept_head_dim_falls_back():
+    """impl='splash' with a head dim outside the swept/validated set
+    (here PixArt's d=72) must silently route to the flash kernel — the
+    opt-in contract is 'never worse than pallas'."""
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_rand(kk, (1, 2, 192, 72)) for kk in keys)
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="splash", interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    from tdm_tpu.ops.attention import _splash_attention
+
+    assert _splash_attention(q, k, v, 72**-0.5, True) is None
+
+
+def test_splash_masked_falls_back():
+    """key_mask forces the flash kernel (splash path is unmasked-only) —
+    masked semantics must be identical to pallas."""
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (_rand(kk, (2, 2, 64, 64)) for kk in keys)
+    mask = jnp.array([[1] * 40 + [0] * 24, [1] * 64])
+    ref = attention(q, k, v, mask, impl="xla")
+    out = attention(q, k, v, mask, impl="splash", interpret=True,
+                    block_q=128, block_k=128)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_splash_block_helper():
+    from tdm_tpu.ops.attention import _splash_block
+
+    assert _splash_block(4429, 1120) == 1120  # SD3 shape: swept optimum
+    assert _splash_block(4429, 896) == 896
+    assert _splash_block(333, 1120) == 384  # short seq: one padded block
+    assert _splash_block(64, 896) == 128  # floor: lane-aligned minimum
+
+
+def test_splash_interpret_matches_xla():
+    """The real splash path (interpret mode) vs XLA at a padded, unaligned
+    shape: exercises the NumpyMask KV-padding route (sk 80 -> pad 128) and
+    the q-row padding slice (sq 96 -> pad 128)."""
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = _rand(keys[0], (1, 2, 96, 64))
+    k = _rand(keys[1], (1, 2, 80, 64))
+    v = _rand(keys[2], (1, 2, 80, 64))
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="splash", interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_splash_gradients_match_xla():
+    """jax.grad through the splash path (backward blocks are specified for
+    correctness — training still pins the flash kernel) vs XLA."""
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(keys[0], (1, 2, 96, 64))
+    k = _rand(keys[1], (1, 2, 80, 64))
+    v = _rand(keys[2], (1, 2, 80, 64))
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(
+                attention(q, k, v, impl=impl,
+                          interpret=(impl == "splash")) ** 2
+            )
+        return f
+
+    gr = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss("splash"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gs):
+        np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)

@@ -22,17 +22,33 @@ ONE jit (per-dispatch tunnel RTT would otherwise swamp a ~10 ms kernel),
 forced readback sync (block_until_ready does not block on this tunnel),
 min over repeats. Run from the repo root on a TPU host:
 
-    python scripts/sweep_splash_blocks.py
+    python scripts/sweep_splash_blocks.py          # SD3 shape
+    python scripts/sweep_splash_blocks.py video    # CogVideoX shape
+
+Video-shape results (B1, H30, S=17776, D=64 — the CogVideoX-2B 49-frame
+sampler shape, where the flash custom-call dominates device busy): see the
+table printed by a run / docs/PERF.md "splash at the video shape".
+Pad-key masking at this shape uses SegmentIds (O(S)) — a NumpyMask would
+be a 17920^2 = 321M-entry host array.
 """
+import os
+import sys
 import time
 from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, H, S, D = 4, 24, 4480, 64  # 4480 = the padded S every kernel accepts
-N = 20
+if len(sys.argv) > 1 and sys.argv[1] == "video":
+    B, H, S, D = 1, 30, 17776, 64  # CogVideoX-2B 49f 480x720 (226 text tok)
+    SHAPE = "video"
+else:
+    B, H, S, D = 4, 24, 4480, 64  # 4480 = the padded S every kernel accepts
+    SHAPE = "sd3"
+N = 20 if SHAPE == "sd3" else 5
 q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D), jnp.bfloat16)
 k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D), jnp.bfloat16)
@@ -69,6 +85,52 @@ def main():
     timeit("ours pallas (block-swept default)", partial(ours, impl="pallas"))
     timeit("ours splash (shipped config)", partial(ours, impl="splash"))
 
+    from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+    def make_splash(bq, bkv, bkvc=None, segs=False):
+        """FullMask splash at the block-padded shape; segs=True additionally
+        threads SegmentIds that mask the pad keys (the exact-math variant —
+        O(S) vs NumpyMask's O(S^2) host mask table)."""
+        sq_pad = -(-S // bq) * bq
+        sk_pad = -(-S // bkv) * bkv
+        mask = sa.MultiHeadMask(
+            [sa.FullMask((sq_pad, sk_pad)) for _ in range(H)]
+        )
+        kernel = sa.make_splash_mha(
+            mask=mask, head_shards=1, q_seq_shards=1,
+            block_sizes=sa.BlockSizes(
+                block_q=bq, block_kv=bkv, block_kv_compute=bkvc or bkv
+            ),
+        )
+        if segs:
+            qs = jnp.ones((sq_pad,), jnp.int32)
+            ks = jnp.concatenate(
+                [jnp.ones((S,), jnp.int32), jnp.zeros((sk_pad - S,), jnp.int32)]
+            )
+            seg = sa.SegmentIds(q=qs, kv=ks)
+
+        def pad(x, to):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, to - x.shape[2]), (0, 0)))
+
+        def f(q, k, v):
+            qp = pad(q * (1.0 / np.sqrt(D)), sq_pad)
+            kp, vp = pad(k, sk_pad), pad(v, sk_pad)
+            if segs:
+                out = jax.vmap(partial(kernel, segment_ids=seg))(qp, kp, vp)
+            else:
+                out = jax.vmap(kernel)(qp, kp, vp)
+            return out[:, :, :S, :].astype(q.dtype)
+
+        return f
+
+    if SHAPE == "video":
+        for bq, bkv in ((896, 896), (1120, 896), (1024, 1024), (1792, 896),
+                        (1120, 1120), (2048, 1024)):
+            timeit(f"splash bq={bq} bkv={bkv}", make_splash(bq, bkv))
+            timeit(f"splash bq={bq} bkv={bkv} +segids",
+                   make_splash(bq, bkv, segs=True))
+        return
+
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     timeit(
@@ -78,25 +140,12 @@ def main():
         ),
     )
 
-    from jax.experimental.pallas.ops.tpu import splash_attention as sa
-
-    def make_splash(bq, bkv, bkvc=None):
-        mask = sa.MultiHeadMask([sa.FullMask((S, S)) for _ in range(H)])
-        kernel = sa.make_splash_mha(
-            mask=mask, head_shards=1, q_seq_shards=1,
-            block_sizes=sa.BlockSizes(
-                block_q=bq, block_kv=bkv, block_kv_compute=bkvc or bkv
-            ),
-        )
-
-        def f(q, k, v):
-            return jax.vmap(kernel)(q * (1.0 / np.sqrt(D)), k, v)
-
-        return f
-
     for bq in (448, 640, 896, 1120):
         for bkv in (640, 896):
             timeit(f"splash bq={bq} bkv={bkv}", make_splash(bq, bkv))
+    # exact-math pad masking via SegmentIds vs the shipped NumpyMask path:
+    timeit("splash bq=1120 bkv=896 +segids",
+           make_splash(1120, 896, segs=True))
 
 
 if __name__ == "__main__":

@@ -129,13 +129,24 @@ def _splash_block(seq: int, pref: int) -> int:
     return -(-seq // 128) * 128
 
 
+# Pad-key masking strategy above this padded-mask size: a NumpyMask is an
+# O(sq_pad*sk_pad) HOST bool array processed into block tables at kernel
+# construction — fine at SD3's 4480² (20M) but prohibitive at the video
+# shape (17920² = 321M entries on a 1-core host). Above the threshold the
+# kernel uses FullMask + SegmentIds (O(S) arrays, masking applied
+# in-kernel) instead.
+_SPLASH_SEGIDS_MIN_MASK = 2**25
+
+
 @functools.lru_cache(maxsize=16)
 def _splash_kernel(heads, sq, sk, interpret):
     """Construct (and cache) a splash MHA kernel for [heads, sq, sk].
 
     Padded query rows still attend the real keys (all-True rows — cheaper
-    than NaN-guarding fully-masked rows); padded KV columns are masked out.
-    Returns None when the bundled kernel is unavailable.
+    than NaN-guarding fully-masked rows); padded KV columns are masked out
+    (NumpyMask boundary blocks for small shapes, SegmentIds above
+    _SPLASH_SEGIDS_MIN_MASK). Returns None when the bundled kernel is
+    unavailable.
     """
     try:
         import numpy as np
@@ -146,8 +157,19 @@ def _splash_kernel(heads, sq, sk, interpret):
     bkv = _splash_block(sk, _SPLASH_BLOCK_KV)
     sq_pad = -(-sq // bq) * bq
     sk_pad = -(-sk // bkv) * bkv
+    seg = None
     if sk_pad == sk:
         head_mask = sa.FullMask((sq_pad, sk_pad))
+    elif sq_pad * sk_pad > _SPLASH_SEGIDS_MIN_MASK:
+        head_mask = sa.FullMask((sq_pad, sk_pad))
+        with jax.ensure_compile_time_eval():
+            seg = sa.SegmentIds(
+                q=jnp.ones((sq_pad,), jnp.int32),
+                kv=jnp.concatenate(
+                    [jnp.ones((sk,), jnp.int32),
+                     jnp.zeros((sk_pad - sk,), jnp.int32)]
+                ),
+            )
     else:
         valid = np.zeros((sq_pad, sk_pad), dtype=bool)
         valid[:, :sk] = True
@@ -171,7 +193,7 @@ def _splash_kernel(heads, sq, sk, interpret):
             ),
             interpret=interpret,
         )
-    return kernel, sq_pad, sk_pad
+    return kernel, sq_pad, sk_pad, seg
 
 
 def _splash_attention(q, k, v, scale, interpret):
@@ -185,10 +207,12 @@ def _splash_attention(q, k, v, scale, interpret):
     made = _splash_kernel(h, sq, sk, interpret)
     if made is None:
         return None
-    kernel, sq_pad, sk_pad = made
+    kernel, sq_pad, sk_pad, seg = made
     qp = _pad_to(q * jnp.asarray(scale, q.dtype), sq_pad, 2)
     kp = _pad_to(k, sk_pad, 2)
     vp = _pad_to(v, sk_pad, 2)
+    if seg is not None:
+        kernel = functools.partial(kernel, segment_ids=seg)
     try:
         out = jax.vmap(kernel)(qp, kp, vp)
     except Exception as e:  # lowering/shape constraint — fall back, not fail

@@ -209,6 +209,41 @@ def test_splash_interpret_matches_xla():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_splash_segids_interpret_matches_xla(monkeypatch):
+    """Above _SPLASH_SEGIDS_MIN_MASK the splash path masks pad keys with
+    FullMask + SegmentIds instead of a NumpyMask (O(S) host arrays vs
+    O(S^2) mask table — the CogVideoX S=17.8k route, where a NumpyMask
+    would be 321M entries). Force the threshold down and pin exactness
+    (forward and grads) against XLA on a pad-requiring shape."""
+    import tdm_tpu.ops.attention as A
+
+    A._splash_kernel.cache_clear()
+    monkeypatch.setattr(A, "_SPLASH_SEGIDS_MIN_MASK", 0)
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = _rand(keys[0], (1, 2, 112, 64))
+    k = _rand(keys[1], (1, 2, 72, 64))
+    v = _rand(keys[2], (1, 2, 72, 64))
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="splash", interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(
+                attention(q, k, v, impl=impl,
+                          interpret=(impl == "splash")) ** 2
+            )
+        return f
+
+    gr = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss("splash"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gs):
+        np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+    # drop the forced-segids kernels so later default-threshold tests at
+    # the same shapes don't reuse them
+    A._splash_kernel.cache_clear()
+
+
 def test_splash_gradients_match_xla():
     """jax.grad through the splash path (backward blocks are specified for
     correctness — training still pins the flash kernel) vs XLA."""

@@ -118,6 +118,12 @@ def attention(
 # custom-call is 53% of SD3 inference device busy (docs/PERF.md).
 _SPLASH_BLOCK_Q = 1120
 _SPLASH_BLOCK_KV = 896
+# Larger q blocks win when they don't add padding: at the CogVideoX shape
+# (S=17776 -> pad 17920 either way) bq=1792 measured 42.15 vs 1120's 43.23
+# ms/call; at the SD3 shape 1792 would over-pad (4429 -> 5376 vs 4480) so
+# 1120 stays. Candidates tried in descending order; first minimal-padding
+# one wins.
+_SPLASH_BLOCK_Q_CANDIDATES = (1792, 1120)
 
 
 def _splash_block(seq: int, pref: int) -> int:
@@ -129,77 +135,77 @@ def _splash_block(seq: int, pref: int) -> int:
     return -(-seq // 128) * 128
 
 
-# Pad-key masking strategy above this padded-mask size: a NumpyMask is an
-# O(sq_pad*sk_pad) HOST bool array processed into block tables at kernel
-# construction — fine at SD3's 4480² (20M) but prohibitive at the video
-# shape (17920² = 321M entries on a 1-core host). Above the threshold the
-# kernel uses FullMask + SegmentIds (O(S) arrays, masking applied
-# in-kernel) instead.
-_SPLASH_SEGIDS_MIN_MASK = 2**25
+def _splash_block_q(sq: int) -> int:
+    """Query block: the largest swept candidate that minimizes q padding
+    (see _SPLASH_BLOCK_Q_CANDIDATES); short sequences use one padded
+    block."""
+    if sq < min(_SPLASH_BLOCK_Q_CANDIDATES):
+        return _splash_block(sq, _SPLASH_BLOCK_Q)
+    best = None
+    for cand in _SPLASH_BLOCK_Q_CANDIDATES:
+        pad = -(-sq // cand) * cand
+        if best is None or pad < best[0]:
+            best = (pad, cand)
+    return best[1]
 
 
 @functools.lru_cache(maxsize=16)
 def _splash_kernel(heads, sq, sk, interpret):
     """Construct (and cache) a splash MHA kernel for [heads, sq, sk].
 
-    Padded query rows still attend the real keys (all-True rows — cheaper
-    than NaN-guarding fully-masked rows); padded KV columns are masked out
-    (NumpyMask boundary blocks for small shapes, SegmentIds above
-    _SPLASH_SEGIDS_MIN_MASK). Returns None when the bundled kernel is
-    unavailable.
+    When sk needs block-padding, the kernel is built with a plain FullMask
+    and `save_residuals=True` instead of any in-kernel pad masking: the
+    padded K/V rows are ZEROS, so every pad key contributes logit 0 /
+    value 0 — the softmax NUMERATOR is untouched and only the denominator
+    inflates by exactly n_pad·exp(0). The returned logsumexp lets the
+    caller undo that with one fused elementwise rescale
+    (out / (1 - n_pad·exp(-lse))), which measures faster than both a
+    NumpyMask (partial boundary blocks: +1.5 ms at the SD3 shape) and
+    SegmentIds (per-block comparisons: +2.4-3.2 ms at the video shape) —
+    and unlike a NumpyMask costs O(1) host work instead of an
+    O(sq_pad·sk_pad) mask table (321M entries at S=17.8k video shapes).
+    Padded QUERY rows attend everything and are sliced off.
+    Returns None when the bundled kernel is unavailable.
     """
     try:
-        import numpy as np
         from jax.experimental.pallas.ops.tpu import splash_attention as sa
     except ImportError:
         return None
-    bq = _splash_block(sq, _SPLASH_BLOCK_Q)
+    bq = _splash_block_q(sq)
     bkv = _splash_block(sk, _SPLASH_BLOCK_KV)
     sq_pad = -(-sq // bq) * bq
     sk_pad = -(-sk // bkv) * bkv
-    seg = None
-    if sk_pad == sk:
-        head_mask = sa.FullMask((sq_pad, sk_pad))
-    elif sq_pad * sk_pad > _SPLASH_SEGIDS_MIN_MASK:
-        head_mask = sa.FullMask((sq_pad, sk_pad))
-        with jax.ensure_compile_time_eval():
-            seg = sa.SegmentIds(
-                q=jnp.ones((sq_pad,), jnp.int32),
-                kv=jnp.concatenate(
-                    [jnp.ones((sk,), jnp.int32),
-                     jnp.zeros((sk_pad - sk,), jnp.int32)]
-                ),
-            )
-    else:
-        valid = np.zeros((sq_pad, sk_pad), dtype=bool)
-        valid[:, :sk] = True
-        head_mask = sa.NumpyMask(valid)
+    rescale = sk_pad != sk
     # make_splash_mha device_puts its block-sparse mask tables; attention()
     # is usually called mid-trace, where that would capture TRACERS in the
     # (cached) kernel closure — force eager eval so the closure holds
     # concrete constants valid across traces.
     with jax.ensure_compile_time_eval():
         kernel = sa.make_splash_mha(
-            mask=sa.MultiHeadMask([head_mask] * heads),
+            mask=sa.MultiHeadMask([sa.FullMask((sq_pad, sk_pad))] * heads),
             head_shards=1,
             q_seq_shards=1,
+            save_residuals=rescale,
             block_sizes=sa.BlockSizes(
                 block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-                # backward blocks so jax.grad through the opt-in path is
-                # defined (inference is the target; TRAINING pins our flash
-                # kernel, so these are correctness-only, untuned)
+                # backward blocks are required by BlockSizes, but the
+                # rescale path's jax.grad goes through a custom_vjp that
+                # recomputes with the in-repo flash kernel (the splash VJP
+                # cannot accept a logsumexp cotangent); only the
+                # no-padding route differentiates through these.
                 block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
                 use_fused_bwd_kernel=True,
             ),
             interpret=interpret,
         )
-    return kernel, sq_pad, sk_pad, seg
+    return kernel, sq_pad, sk_pad, rescale
 
 
 def _splash_attention(q, k, v, scale, interpret):
     """Unmasked attention via jax's bundled splash kernel (padded + sliced
-    back). Returns None if the kernel can't serve this shape so the caller
-    falls back to the in-repo flash kernel."""
+    back, pad keys corrected via the logsumexp residual — see
+    _splash_kernel). Returns None if the kernel can't serve this shape so
+    the caller falls back to the in-repo flash kernel."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if d % 128 not in (0, 64):  # swept/validated head dims only
@@ -207,19 +213,54 @@ def _splash_attention(q, k, v, scale, interpret):
     made = _splash_kernel(h, sq, sk, interpret)
     if made is None:
         return None
-    kernel, sq_pad, sk_pad, seg = made
-    qp = _pad_to(q * jnp.asarray(scale, q.dtype), sq_pad, 2)
-    kp = _pad_to(k, sk_pad, 2)
-    vp = _pad_to(v, sk_pad, 2)
-    if seg is not None:
-        kernel = functools.partial(kernel, segment_ids=seg)
+    kernel, sq_pad, sk_pad, rescale = made
+
+    def fwd_math(q, k, v):
+        qp = _pad_to(q * jnp.asarray(scale, q.dtype), sq_pad, 2)
+        kp = _pad_to(k, sk_pad, 2)
+        vp = _pad_to(v, sk_pad, 2)
+        if not rescale:
+            out = jax.vmap(kernel)(qp, kp, vp)
+            return out[:, :, :sq, :].astype(q.dtype)
+        out, res = jax.vmap(kernel)(qp, kp, vp)
+        lse = jax.tree_util.tree_leaves(res)[0]  # [B, H, sq_pad] f32
+        n_pad = sk_pad - sk
+        corr = 1.0 / (1.0 - n_pad * jnp.exp(-lse[:, :, :sq, None]))
+        return (out[:, :, :sq, :] * corr).astype(q.dtype)
+
+    if rescale:
+        # The splash VJP rejects a cotangent on its logsumexp residual
+        # ("Higher-order AD not supported"), so the rescale path carries a
+        # custom VJP that recomputes through the in-repo flash kernel —
+        # identical math, and splash grads were already correctness-only
+        # (training pins the flash kernel).
+        @jax.custom_vjp
+        def f(q, k, v):
+            return fwd_math(q, k, v)
+
+        def f_fwd(q, k, v):
+            return fwd_math(q, k, v), (q, k, v)
+
+        def f_bwd(saved, dout):
+            q, k, v = saved
+            _, vjp = jax.vjp(
+                lambda q, k, v: attention(
+                    q, k, v, scale=scale, impl="pallas", interpret=interpret
+                ),
+                q, k, v,
+            )
+            return vjp(dout)
+
+        f.defvjp(f_fwd, f_bwd)
+        run = f
+    else:
+        run = fwd_math
     try:
-        out = jax.vmap(kernel)(qp, kp, vp)
+        return run(q, k, v)
     except Exception as e:  # lowering/shape constraint — fall back, not fail
         global _SPLASH_LAST_ERROR
         _SPLASH_LAST_ERROR = e  # diagnosable: silent at runtime by design
         return None
-    return out[:, :, :sq, :].astype(q.dtype)
 
 
 _SPLASH_LAST_ERROR: Exception | None = None

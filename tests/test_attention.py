@@ -198,8 +198,8 @@ def test_splash_block_helper():
 
 def test_splash_interpret_matches_xla():
     """The real splash path (interpret mode) vs XLA at a padded, unaligned
-    shape: exercises the NumpyMask KV-padding route (sk 80 -> pad 128) and
-    the q-row padding slice (sq 96 -> pad 128)."""
+    shape: exercises the logsumexp-rescale KV-padding route (sk 80 -> pad
+    128) and the q-row padding slice (sq 96 -> pad 128)."""
     keys = jax.random.split(jax.random.PRNGKey(5), 3)
     q = _rand(keys[0], (1, 2, 96, 64))
     k = _rand(keys[1], (1, 2, 80, 64))
@@ -209,16 +209,12 @@ def test_splash_interpret_matches_xla():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
-def test_splash_segids_interpret_matches_xla(monkeypatch):
-    """Above _SPLASH_SEGIDS_MIN_MASK the splash path masks pad keys with
-    FullMask + SegmentIds instead of a NumpyMask (O(S) host arrays vs
-    O(S^2) mask table — the CogVideoX S=17.8k route, where a NumpyMask
-    would be 321M entries). Force the threshold down and pin exactness
-    (forward and grads) against XLA on a pad-requiring shape."""
-    import tdm_tpu.ops.attention as A
-
-    A._splash_kernel.cache_clear()
-    monkeypatch.setattr(A, "_SPLASH_SEGIDS_MIN_MASK", 0)
+def test_splash_rescale_heavy_padding_matches_xla():
+    """A pad-heavy shape (sk 72 -> pad 128: 44% pad keys) through the
+    logsumexp-rescale route — the pad-key correction must stay exact even
+    when the pad mass is a large fraction of the softmax denominator, and
+    jax.grad must route through the custom VJP (flash-kernel recompute)
+    since the splash VJP rejects a logsumexp cotangent."""
     keys = jax.random.split(jax.random.PRNGKey(11), 3)
     q = _rand(keys[0], (1, 2, 112, 64))
     k = _rand(keys[1], (1, 2, 72, 64))
@@ -239,9 +235,6 @@ def test_splash_segids_interpret_matches_xla(monkeypatch):
     gs = jax.grad(loss("splash"), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gr, gs):
         np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
-    # drop the forced-segids kernels so later default-threshold tests at
-    # the same shapes don't reuse them
-    A._splash_kernel.cache_clear()
 
 
 def test_splash_gradients_match_xla():

@@ -252,7 +252,10 @@ def bench_cogvideox_4nfe(batch: int = 1, iters: int = 3,
     from tdm_tpu.models import cogvideox as cog
     from tdm_tpu.pipelines.cogvideox import TDM_TRAINED_GRID
 
-    cfg = cog.CogVideoXConfig()  # 2B, scan-over-layers, bf16
+    # splash: 41.42 vs 45.03 ms/call over the in-repo flash kernel at this
+    # shape (B1·H30·S17776·D64, scripts/sweep_splash_blocks.py video) —
+    # bq=1792 + logsumexp pad rescale; falls back to flash if unavailable.
+    cfg = cog.CogVideoXConfig(attn_impl="splash")  # 2B, scan-over-layers, bf16
     model = cog.CogVideoXTransformer3D(cfg=cfg)
     lat = jnp.zeros(
         (batch, 16, cfg.sample_frames, cfg.sample_h, cfg.sample_w),
